@@ -1,0 +1,190 @@
+"""Typed configuration for the framework.
+
+The reference keeps every knob in hardcoded dict literals (reference
+train.py:17-39, admm.py:36-45, utils/peakSearchUtils.py:84-93).  Here the same
+knob set is preserved as frozen dataclasses so configs are hashable (usable as
+jit static args), serializable, and CLI-overridable.
+
+Axis-naming convention (kills the xbase/ybase swap class of bug in the
+reference, see reference main.py:95 vs main.py:103-105):
+
+- ``delay`` axis: tau in [0, 1), resolved by the ``Nd`` within-block symbol
+  axis; atom factor ``d(tau) = exp(2j pi tau * [0..Nd-1])``.
+- ``doppler`` axis: f in [-0.5, 0.5), resolved by the ``Nb`` OFDM-block axis;
+  atom factor ``s(f) = exp(2j pi f * [0..Nb-1])``.
+- flattened atom: ``a(tau, f) = kron(s(f), conj(d(tau)))`` with layout index
+  ``m * Nd + k`` (m = block, k = symbol), matching the reference's
+  ``kr(S, conj(D))`` column layout (reference main.py:29,
+  utils/peakSearchUtils.py:27-31).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemSpec:
+    """Dimensions of one recovery instance (reference main.py:11-17)."""
+
+    Nb: int = 10  # number of OFDM blocks (doppler axis length)
+    Nd: int = 10  # data symbols per block (delay axis length)
+    L_max: int = 3  # maximum number of targets
+
+    @property
+    def n(self) -> int:
+        """Flattened problem size MN = Nb * Nd."""
+        return self.Nb * self.Nd
+
+    @property
+    def lifted(self) -> int:
+        """Side of the lifted PSD matrix G: MN + 1 (reference admm.py:54)."""
+        return self.n + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMOptions:
+    """Classical-solver knobs (reference admm.py:6,36-45).
+
+    ``phi_update`` selects between the intended diagonal phi-update
+    (what the learned PhiLayer implements, reference admm_net.py:94-103) and
+    ``"ref_dense"`` which reproduces the reference's broadcasting quirk at
+    admm.py:78 where ``inv(diag(|b|^2)) + rho*ones(n)`` adds rho to every
+    matrix entry, i.e. solves with ``D^{-1} + rho*11^T`` instead of
+    ``D^{-1} + rho*I`` (handled closed-form via Sherman-Morrison here).
+
+    ``g_update`` selects the PSD step: ``"eigh"`` is the true projection onto
+    the PSD cone (eigendecompose, clamp negative eigenvalues; what the learned
+    GLayer does, reference admm_net.py:303-334); ``"newton_schulz"`` is a
+    matmul-only (MXU-friendly) approximation via the matrix-sign Newton-Schulz
+    iteration; ``"ref_identity"`` reproduces the reference's admm.py:151-179
+    SVD step, which on a Hermitian input is the identity map (singular values
+    of a Hermitian matrix are |eigenvalues|, so zeroing negatives is a no-op).
+    """
+
+    rho: float = 1.0
+    max_iter: int = 100
+    eta_abs: float = 1e-7
+    eta_rel: float = 1e-7
+    use_min_iter: bool = True
+    min_iter: int = 5
+    phi_update: str = "diag"  # "diag" | "ref_dense"
+    g_update: str = "eigh"  # "eigh" | "newton_schulz" | "ref_identity"
+    newton_schulz_iters: int = 24
+
+    def __post_init__(self):
+        if self.phi_update not in ("diag", "ref_dense"):
+            raise ValueError(f"unknown phi_update {self.phi_update!r}")
+        if self.g_update not in ("eigh", "newton_schulz", "ref_identity"):
+            raise ValueError(f"unknown g_update {self.g_update!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class PeakSearchConfig:
+    """Coarse-to-fine 2-D spectral peak search knobs.
+
+    Mirrors reference utils/peakSearchUtils.py:84-93 defaults.  ``max_peaks``
+    is new: batched TPU search returns a fixed number of candidate peaks
+    (sorted by height, padded with -inf) instead of a data-dependent count.
+
+    The refinement here zooms properly: round r scans a ``refine_points``^2
+    window spanning +-step_{r-1} at spacing step_r = reducefactor * step_{r-1}
+    around the current estimate.  (The reference's window at
+    peakSearchUtils.py:142-145 only spans +-step_r -- a tenth of the coarse
+    cell -- so its refinement cannot leave the coarse grid cell; ours strictly
+    dominates it in accuracy.)
+    """
+
+    delay_min: float = 0.0
+    delay_max: float = 1.0
+    delay_step: float = 0.01
+    doppler_min: float = -0.5
+    doppler_max: float = 0.5
+    doppler_step: float = 0.01
+    reduce_factor: float = 0.1
+    refine_iters: int = 3
+    refine_points: int = 11  # points per axis per refinement round
+    max_peaks: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Synthetic OFDM-ISAC dataset knobs (reference generate_data.py:15-44)."""
+
+    spec: ProblemSpec = ProblemSpec()
+    tau_range: Tuple[float, float] = (0.1, 0.9)
+    f_range: Tuple[float, float] = (-0.4, 0.4)
+    gain_std: float = 0.7  # complex reflection coeff ~ N(0, 0.7^2) per part
+    snr_range: Tuple[float, float] = (5.0, 25.0)  # environment SNR_w in dB
+    snr_demod: float = 7.0  # demodulation SNR_e in dB
+    psk_order: int = 4  # QPSK
+    train_ratio: float = 0.7
+    val_ratio: float = 0.15
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Unrolled ADMM-Net architecture (reference admm_net.py:724-816)."""
+
+    spec: ProblemSpec = ProblemSpec()
+    num_layers: int = 10
+    hidden_dim: int = 128
+    num_heads: int = 4
+    correction_hidden: int = 64  # HLayer MLP width (reference admm_net.py:127)
+    value_net_hidden: int = 16  # GLayer eigenvalue MLP (reference admm_net.py:230)
+    scale_net_hidden: int = 32  # ZLayer step MLP (reference admm_net.py:373)
+    with_peak_head: bool = True
+    epsilon: float = 1e-8
+    # Reproduce the reference's accidental stop-gradients (.item() calls at
+    # admm_net.py:271,426,458 and the eigenvector detach at :306).  Kept as a
+    # flag so the effect can be ablated.
+    ref_stop_gradients: bool = True
+    # Optional learned sensing/measurement matrix (north-star config #5).
+    # NOTE: the reference's "Phi" in trainPhi.py is the *output* dual
+    # polynomial, not a measurement matrix (see SURVEY.md section 0.1); this
+    # option is an extension, off by default.
+    learned_sensing: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-driver knobs (reference train.py:17-39, trainPhi.py:16-38)."""
+
+    batch_size: int = 256
+    epochs: int = 100
+    lr: float = 1e-3
+    admm_lr_scale: float = 0.5  # ADMM-layer params at 0.5x lr (train.py:107-113)
+    weight_decay: float = 1e-3
+    grad_clip: float = 1.0
+    # CosineAnnealingWarmRestarts(T_0=10, T_mult=2, eta_min=1e-6), train.py:126-128
+    sgdr_t0: int = 10
+    sgdr_t_mult: int = 2
+    lr_min: float = 1e-6
+    patience: int = 10  # early stop (train.py:133)
+    conf_threshold: float = 0.5  # detection threshold for F1 (train.py:384)
+    seed: int = 0
+
+
+def to_json(cfg: Any) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2)
+
+
+def _from_dict(cls, d: Dict[str, Any]):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+        if k not in fields:
+            continue
+        ft = fields[k].type
+        if isinstance(v, dict) and "Nb" in v:
+            v = ProblemSpec(**v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kwargs[k] = v
+    return cls(**kwargs)
+
+
+def from_json(cls, s: str):
+    return _from_dict(cls, json.loads(s))

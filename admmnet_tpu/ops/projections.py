@@ -1,0 +1,162 @@
+"""Vectorized Euclidean projections: the XLA replacements for the reference's
+per-iteration native-solver calls.
+
+- ``project_sum_inf``: exact projection onto {h real : A*||h||_inf + sum(h) <= 1},
+  replacing the cvxpy/ECOS interior-point solve the reference runs EVERY ADMM
+  iteration (reference admm.py:82,117-148).  Implemented as nested bisection
+  (dual scalar mu outside, L1-ball threshold inside) -- pure vector ops, fully
+  batched, no data-dependent shapes, VPU-friendly.
+
+- ``psd_project_eigh``: projection onto the Hermitian PSD cone via
+  eigendecomposition + eigenvalue clamp.  This is the *intended* G-update.
+  NOTE: the reference's SVD-based G-update (admm.py:151-179) zeroes "negative
+  singular values" of a Hermitian matrix -- singular values are |eigenvalues|,
+  never negative, so that step is the identity map and the reference solver
+  never actually projects onto the PSD cone.  We implement the real projection
+  (which the learned GLayer also uses via eigh, reference admm_net.py:303-334)
+  and provide the identity behavior separately as a ref-compat mode in the
+  solver.
+
+- ``psd_project_newton_schulz``: matmul-only approximation using the
+  matrix-sign Newton-Schulz iteration: P(M) = (M + |M|)/2 with
+  |M| = sign(M) @ M.  Runs on the MXU at full speed (complex matmuls), unlike
+  eigh's sequential QR sweeps; accuracy degrades smoothly for eigenvalues near
+  zero, which ADMM tolerates.
+
+Derivation of project_sum_inf (for the docstring-level record):
+minimize 1/2||h-t||^2 s.t. f(h) <= 1 with f(h) = A*||h||_inf + 1^T h, A > 0.
+If f(t) <= 1 return t.  Else the constraint is active; for dual mu >= 0 the
+Lagrangian minimizer is h(mu) = prox_{mu*A*||.||_inf}(t - mu*1), and by Moreau
+decomposition prox of the inf-norm is identity minus L1-ball projection:
+h(mu) = v - P_{L1 <= mu*A}(v), v = t - mu*1.  f(h(mu)) is nonincreasing in mu
+(dual monotonicity) and comparing h(mu) with the feasible point 0 gives
+f(h(mu)) <= ||t||^2/(2*mu), so mu_hi = max(1, ||t||^2/2 + 1) brackets the root
+f(h(mu)) = 1; bisect.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def project_l1_ball(v: jnp.ndarray, radius: jnp.ndarray, iters: int = 50) -> jnp.ndarray:
+    """Euclidean projection of real v (..., n) onto {x : ||x||_1 <= radius}.
+
+    ``radius`` broadcasts over the leading dims, shape (...,) or scalar; must
+    be >= 0.  Bisection on the soft-threshold tau: sum(relu(|v|-tau)) is
+    continuous, strictly decreasing where positive, so ``iters`` halvings of
+    [0, max|v|] locate tau to max|v| * 2^-iters.
+    """
+    v = jnp.asarray(v)
+    radius = jnp.broadcast_to(jnp.asarray(radius, v.dtype), v.shape[:-1])[..., None]
+    av = jnp.abs(v)
+    l1 = jnp.sum(av, axis=-1, keepdims=True)
+    inside = l1 <= radius
+    lo = jnp.zeros_like(radius)
+    hi = jnp.max(av, axis=-1, keepdims=True)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        tau = 0.5 * (lo + hi)
+        s = jnp.sum(jnp.maximum(av - tau, 0.0), axis=-1, keepdims=True)
+        too_big = s > radius
+        return jnp.where(too_big, tau, lo), jnp.where(too_big, hi, tau)
+
+    lo, hi = lax.fori_loop(0, iters, body, (lo, hi))
+    tau = 0.5 * (lo + hi)
+    # Rescale exactly onto the sphere to kill the residual bisection error:
+    # the projection has the form sign(v)*max(|v|-tau,0) with L1 norm == radius.
+    x = jnp.maximum(av - tau, 0.0)
+    xs = jnp.sum(x, axis=-1, keepdims=True)
+    x = x * jnp.where(xs > 0, radius / jnp.maximum(xs, 1e-30), 0.0)
+    return jnp.where(inside, v, jnp.sign(v) * x)
+
+
+def _prox_scaled_inf(v: jnp.ndarray, scale: jnp.ndarray, inner_iters: int) -> jnp.ndarray:
+    """prox_{scale*||.||_inf}(v) = v - P_{L1 <= scale}(v) (Moreau)."""
+    return v - project_l1_ball(v, scale, iters=inner_iters)
+
+
+def project_sum_inf(
+    t: jnp.ndarray,
+    A: jnp.ndarray,
+    outer_iters: int = 50,
+    inner_iters: int = 50,
+) -> jnp.ndarray:
+    """Exact projection of real t (..., n) onto {h : A*||h||_inf + sum(h) <= 1}.
+
+    ``A`` is the constraint weight 2*sqrt(MN)*sigma + sigma^2 (reference
+    admm.py:136); scalar or batched (...,).  See module docstring for the
+    derivation.  Replaces cvxpy/ECOS (reference admm.py:117-148).
+    """
+    t = jnp.asarray(t)
+    A = jnp.broadcast_to(jnp.asarray(A, t.dtype), t.shape[:-1])
+
+    def f_of(h):
+        return A * jnp.max(jnp.abs(h), axis=-1) + jnp.sum(h, axis=-1)
+
+    feasible = f_of(t) <= 1.0
+
+    def h_of(mu):  # mu: (...,)
+        v = t - mu[..., None]
+        return _prox_scaled_inf(v, mu * A, inner_iters)
+
+    mu_hi0 = jnp.maximum(1.0, 0.5 * jnp.sum(t * t, axis=-1) + 1.0)
+    lo = jnp.zeros_like(mu_hi0)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mu = 0.5 * (lo + hi)
+        still_violated = f_of(h_of(mu)) > 1.0
+        return jnp.where(still_violated, mu, lo), jnp.where(still_violated, hi, mu)
+
+    lo, hi = lax.fori_loop(0, outer_iters, body, (lo, mu_hi0))
+    h = h_of(hi)  # hi is always feasible
+    return jnp.where(feasible[..., None], t, h)
+
+
+def hermitian_eigh(M: jnp.ndarray):
+    """Batched eigendecomposition of (..., m, m) after Hermitian symmetrization."""
+    Mh = 0.5 * (M + jnp.conj(jnp.swapaxes(M, -1, -2)))
+    return jnp.linalg.eigh(Mh)
+
+
+def psd_project_eigh(M: jnp.ndarray) -> jnp.ndarray:
+    """Exact projection of Hermitian (..., m, m) onto the PSD cone."""
+    w, V = hermitian_eigh(M)
+    w = jnp.maximum(w, 0.0)
+    return jnp.einsum(
+        "...ij,...j,...kj->...ik", V, w.astype(M.dtype), jnp.conj(V)
+    )
+
+
+def _matrix_abs_newton_schulz(M: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """|M| = U|Lambda|U^H for Hermitian M via Newton-Schulz matrix sign.
+
+    Scale so spectrum lies in [-1, 1] (Frobenius bound), then iterate
+    X <- 1.5*X - 0.5*X^3, which drives each eigenvalue lambda to sign(lambda)
+    (cubic fixed-point, monotone on (0,1]).  Then |M| = sign(M) @ M restored
+    to the original scale.  Eigenvalues ~0 map to ~0 smoothly.
+    """
+    m = M.shape[-1]
+    normF = jnp.sqrt(
+        jnp.sum(jnp.abs(M) ** 2, axis=(-1, -2), keepdims=True)
+    ).astype(M.dtype)
+    scale = jnp.maximum(jnp.real(normF), 1e-30).astype(M.dtype)
+    X = M / scale
+
+    def body(_, X):
+        X2 = X @ X
+        return 1.5 * X - 0.5 * (X @ X2)
+
+    S = lax.fori_loop(0, iters, body, X)
+    return (S @ M + M @ S) * 0.5  # symmetrized sign(M) @ M
+
+
+def psd_project_newton_schulz(M: jnp.ndarray, iters: int = 24) -> jnp.ndarray:
+    """Approximate PSD projection P(M) ~ (M + |M|)/2, matmul-only (MXU path)."""
+    absM = _matrix_abs_newton_schulz(M, iters)
+    P = 0.5 * (M + absM)
+    return 0.5 * (P + jnp.conj(jnp.swapaxes(P, -1, -2)))
