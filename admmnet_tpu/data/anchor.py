@@ -130,22 +130,51 @@ def make_anchor_batch(
     mode: str = "redemod",
     seed: int = 0,
     snr_w: float = 20.0,
+    snr_e: float = 7.0,
     path: Optional[str] = None,
 ):
     """Batch of anchor instances with fresh noise per instance (the protocol
-    of the reference timing benches, test/test_time_admm.py:85-110).
+    of the reference timing benches, test/test_time_admm.py:85-110), fully
+    vectorized over the batch.
 
     Returns (y, b, sigma) numpy arrays with leading dim ``batch``.
+    ``mode="redemod"`` draws fresh demod errors per instance;
+    ``mode="fixed_e"`` replicates the bundled deterministic instance (noise
+    w still fresh per instance).
     """
     rng = np.random.default_rng(seed)
-    ys, bs, sigmas = [], [], []
-    for _ in range(batch):
-        sc = load_anchor(mode=mode, snr_w=snr_w, rng=rng, path=path)
-        ys.append(sc.y)
-        bs.append(sc.b)
-        sigmas.append(sc.sigma)
+    sig, e0 = load_anchor_arrays(path)
+    n = sig.shape[0]
+    Nb = Nd = int(round(np.sqrt(n)))
+
+    if mode == "redemod":
+        p = np.mean(np.abs(sig) ** 2)
+        npow = p / 10 ** (snr_e / 10)
+        noise = np.sqrt(npow / 2) * (
+            rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+        )
+        ang = np.mod(np.angle(sig[None, :] + noise), 2 * np.pi)
+        data_d = np.floor(ang * 4 / (2 * np.pi)).astype(int) % 4
+        b = np.exp(1j * (2 * np.pi * data_d / 4 + np.pi / 4))
+        e = sig[None, :] - b
+    elif mode == "fixed_e":
+        b = np.broadcast_to(sig - e0, (batch, n)).copy()
+        e = np.broadcast_to(e0, (batch, n))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    Psi = _psi(ANCHOR_TAU, ANCHOR_F, ANCHOR_C, Nb, Nd)
+    real_y = (b + e) * Psi[None, :]
+    w = np.sqrt(0.5) * (
+        rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    )
+    w_var = np.linalg.norm(real_y, axis=-1, keepdims=True) ** 2 / (
+        10 ** (snr_w / 10) * n
+    )
+    y = real_y + np.sqrt(w_var) * w
+    sigma = np.linalg.norm(e / b, axis=-1) + 1.0
     return (
-        np.stack(ys).astype(np.complex64),
-        np.stack(bs).astype(np.complex64),
-        np.asarray(sigmas, np.float32),
+        y.astype(np.complex64),
+        b.astype(np.complex64),
+        sigma.astype(np.float32),
     )
