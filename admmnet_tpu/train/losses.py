@@ -1,0 +1,79 @@
+"""Training losses, vectorized (no per-sample Python loops).
+
+Parity targets:
+- ``basic_parameter_loss`` ~ reference loss.py:6-30 (per-sample loop there);
+- ``basic_anm_loss``       ~ reference loss.py:33-60 (BasicANMLoss);
+- ``phi_alignment_loss``   ~ reference loss.py:62-98 (PhiAlignmentLoss:
+  amplitude MSE + 0.5 * wrapped-phase MSE; the spectral/distribution weights
+  the reference declares but never uses are omitted).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+
+
+def basic_parameter_loss(
+    tau_pred, f_pred, confidences, tau_true, f_true, L_true
+) -> jnp.ndarray:
+    """Mean over batch of per-sample losses (reference loss.py:6-30):
+
+    L>0: mse(tau[:L]) + mse(f[:L]) + 0.1*mse(conf[:L], 1)
+    L=0: sum(conf^2)
+    """
+    B, L_max = tau_pred.shape
+    L_true = L_true.astype(jnp.int32)
+    mask = (jnp.arange(L_max)[None, :] < L_true[:, None]).astype(tau_pred.dtype)
+    cnt = jnp.maximum(L_true.astype(tau_pred.dtype), 1.0)
+
+    tau_mse = jnp.sum(mask * (tau_pred - tau_true) ** 2, axis=-1) / cnt
+    f_mse = jnp.sum(mask * (f_pred - f_true) ** 2, axis=-1) / cnt
+    conf_mse = jnp.sum(mask * (confidences - 1.0) ** 2, axis=-1) / cnt
+    with_targets = tau_mse + f_mse + 0.1 * conf_mse
+
+    no_targets = jnp.sum(confidences**2, axis=-1)
+
+    per_sample = jnp.where(L_true > 0, with_targets, no_targets)
+    return jnp.mean(per_sample)
+
+
+def basic_anm_loss(
+    tau_pred,
+    f_pred,
+    confidences,
+    phi,
+    tau_true,
+    f_true,
+    L_true,
+    lambda_reg: float = 1e-4,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Parameter loss + lambda_reg * mean ||phi|| (reference loss.py:33-60)."""
+    param = basic_parameter_loss(
+        tau_pred, f_pred, confidences, tau_true, f_true, L_true
+    )
+    reg = lambda_reg * jnp.mean(
+        jnp.sqrt(jnp.sum(jnp.abs(phi) ** 2, axis=-1))
+    )
+    total = param + reg
+    return total, {"total_loss": total, "param_loss": param, "reg_loss": reg}
+
+
+def phi_alignment_loss(
+    phi_pred,
+    phi_true,
+    amplitude_weight: float = 1.0,
+    phase_weight: float = 0.5,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Amplitude MSE + wrapped-phase MSE (reference loss.py:62-98)."""
+    amp = jnp.mean((jnp.abs(phi_pred) - jnp.abs(phi_true)) ** 2)
+    dphase = jnp.angle(phi_pred) - jnp.angle(phi_true)
+    dphase = jnp.mod(dphase + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    phase = jnp.mean(dphase**2)
+    total = amplitude_weight * amp + phase_weight * phase
+    return total, {
+        "total_loss": total,
+        "amplitude_loss": amp,
+        "phase_loss": phase,
+    }

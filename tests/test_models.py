@@ -1,0 +1,186 @@
+"""ADMM-Net model tests: shapes, param inventory, gradient flow, stop-grad
+parity, loss oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from admmnet_tpu.core.config import ModelConfig, ProblemSpec
+from admmnet_tpu.models import ADMMNet, PhiEstADMMNet
+from admmnet_tpu.train import basic_anm_loss, basic_parameter_loss, phi_alignment_loss
+
+
+def _toy_cfg(num_layers=2, Nb=4, Nd=4):
+    return ModelConfig(spec=ProblemSpec(Nb=Nb, Nd=Nd, L_max=3), num_layers=num_layers)
+
+
+def _inputs(cfg, B=3, seed=0):
+    rng = np.random.default_rng(seed)
+    n = cfg.spec.n
+    y = (rng.normal(size=(B, n)) + 1j * rng.normal(size=(B, n))).astype(np.complex64)
+    b = np.exp(1j * rng.uniform(0, 2 * np.pi, (B, n))).astype(np.complex64)
+    sigma = np.abs(rng.normal(size=B)).astype(np.float32) + 1.0
+    return jnp.asarray(y), jnp.asarray(b), jnp.asarray(sigma)
+
+
+def test_phiest_forward_shapes():
+    cfg = _toy_cfg()
+    model = PhiEstADMMNet(cfg=cfg)
+    y, b, s = _inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), y, b, s)
+    phi = model.apply(params, y, b, s)
+    assert phi.shape == (3, cfg.spec.n)
+    assert phi.dtype == jnp.complex64
+    assert bool(jnp.all(jnp.isfinite(jnp.abs(phi))))
+
+
+def test_admmnet_forward_shapes_and_ranges():
+    cfg = _toy_cfg()
+    model = ADMMNet(cfg=cfg)
+    y, b, s = _inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), y, b, s)
+    tau, f, conf, phi = model.apply(params, y, b, s)
+    assert tau.shape == f.shape == conf.shape == (3, 3)
+    assert float(tau.min()) >= 0.0 and float(tau.max()) <= 1.0
+    assert float(f.min()) >= -1.0 and float(f.max()) <= 1.0
+    assert float(conf.min()) >= 0.0 and float(conf.max()) <= 1.0
+    assert phi.shape == (3, cfg.spec.n)
+
+
+def test_per_layer_params_exist():
+    cfg = _toy_cfg(num_layers=3)
+    model = PhiEstADMMNet(cfg=cfg)
+    y, b, s = _inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), y, b, s)["params"]["trunk"]
+    for k in range(3):
+        for prefix in ("phi", "h", "g", "z"):
+            assert f"{prefix}_{k}" in params, params.keys()
+    # learned scalars present
+    assert params["phi_0"]["rho"].shape == ()
+    assert params["g_0"]["lambda"].shape == ()
+    assert params["g_0"]["threshold"].shape == ()
+
+
+def test_gradients_flow_to_all_layer_kinds():
+    cfg = _toy_cfg()
+    model = PhiEstADMMNet(cfg=cfg)
+    y, b, s = _inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), y, b, s)
+
+    def loss(p):
+        phi = model.apply(p, y, b, s)
+        return jnp.sum(jnp.abs(phi) ** 2)
+
+    grads = jax.grad(loss)(params)["params"]["trunk"]
+    # NOTE: the LAST layer's h/g/z params cannot receive gradients -- the
+    # network returns phi, computed before them (same in the reference
+    # forward, admm_net.py:757-764).  Check all earlier layers + final phi.
+    for name in ("phi_0", "h_0", "g_0", "z_0", "phi_1"):
+        gnorm = sum(
+            float(jnp.sum(jnp.abs(g) ** 2))
+            for g in jax.tree.leaves(grads[name])
+        )
+        assert gnorm > 0, f"no gradient into {name}"
+
+
+def test_stop_gradient_parity_on_lambda():
+    """With ref_stop_gradients=True the GLayer/ZLayer lambda receives no
+    gradient through the block assembly (the reference's .item() behavior);
+    with False it does."""
+    for flag, expect_zero in [(True, True), (False, False)]:
+        # two layers so layer-0's G/Z feed layer-1's phi (a single layer's
+        # G/Z are discarded and would get zero grads either way)
+        cfg = ModelConfig(
+            spec=ProblemSpec(Nb=4, Nd=4), num_layers=2, ref_stop_gradients=flag
+        )
+        model = PhiEstADMMNet(cfg=cfg)
+        y, b, s = _inputs(cfg)
+        params = model.init(jax.random.PRNGKey(0), y, b, s)
+
+        def loss(p):
+            return jnp.sum(jnp.abs(model.apply(p, y, b, s)) ** 2)
+
+        g = jax.grad(loss)(params)["params"]["trunk"]
+        glam = float(jnp.abs(g["g_0"]["lambda"]))
+        zlam = float(jnp.abs(g["z_0"]["lambda"]))
+        if expect_zero:
+            assert glam == 0.0 and zlam == 0.0, (glam, zlam)
+        else:
+            assert glam > 0.0 and zlam > 0.0, (glam, zlam)
+
+
+def test_learned_sensing_option():
+    cfg = ModelConfig(spec=ProblemSpec(Nb=4, Nd=4), num_layers=1, learned_sensing=True)
+    model = PhiEstADMMNet(cfg=cfg)
+    y, b, s = _inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), y, b, s)
+    assert "sensing" in params["params"]["trunk"]
+    # identity init: same output as without sensing at init
+    cfg0 = ModelConfig(spec=ProblemSpec(Nb=4, Nd=4), num_layers=1)
+    m0 = PhiEstADMMNet(cfg=cfg0)
+    p0 = m0.init(jax.random.PRNGKey(0), y, b, s)
+    np.testing.assert_allclose(
+        np.abs(np.asarray(model.apply(params, y, b, s))),
+        np.abs(np.asarray(m0.apply(p0, y, b, s))),
+        atol=1e-5,
+    )
+
+
+def np_basic_parameter_loss(tau_p, f_p, conf, tau_t, f_t, L_t):
+    """Per-sample loop oracle transcribing reference loss.py:6-30 math."""
+    B = tau_p.shape[0]
+    total = 0.0
+    for i in range(B):
+        L = int(L_t[i])
+        if L == 0:
+            total += np.sum(conf[i] ** 2)
+        else:
+            total += (
+                np.mean((tau_p[i, :L] - tau_t[i, :L]) ** 2)
+                + np.mean((f_p[i, :L] - f_t[i, :L]) ** 2)
+                + 0.1 * np.mean((conf[i, :L] - 1.0) ** 2)
+            )
+    return total / B
+
+
+def test_basic_parameter_loss_matches_loop_oracle():
+    rng = np.random.default_rng(0)
+    B, L = 6, 3
+    tau_p = rng.uniform(0, 1, (B, L)).astype(np.float32)
+    f_p = rng.uniform(-0.5, 0.5, (B, L)).astype(np.float32)
+    conf = rng.uniform(0, 1, (B, L)).astype(np.float32)
+    tau_t = rng.uniform(0, 1, (B, L)).astype(np.float32)
+    f_t = rng.uniform(-0.5, 0.5, (B, L)).astype(np.float32)
+    L_t = np.array([3, 2, 1, 0, 3, 0], np.int32)
+    got = float(
+        basic_parameter_loss(
+            jnp.asarray(tau_p), jnp.asarray(f_p), jnp.asarray(conf),
+            jnp.asarray(tau_t), jnp.asarray(f_t), jnp.asarray(L_t),
+        )
+    )
+    want = np_basic_parameter_loss(tau_p, f_p, conf, tau_t, f_t, L_t)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_phi_alignment_loss_wrapping():
+    phi_t = np.exp(1j * np.array([[0.1, 3.0]])).astype(np.complex64)
+    phi_p = np.exp(1j * np.array([[0.1 + 2 * np.pi, -3.0]])).astype(np.complex64)
+    total, parts = phi_alignment_loss(jnp.asarray(phi_p), jnp.asarray(phi_t))
+    # amplitude identical; phase diff [0, -6 rad wrapped to +0.283]
+    assert float(parts["amplitude_loss"]) < 1e-10
+    want_phase = np.mean([0.0, (2 * np.pi - 6.0) ** 2])
+    np.testing.assert_allclose(float(parts["phase_loss"]), want_phase, rtol=1e-4)
+
+
+def test_basic_anm_loss_reg_term():
+    B, L, n = 2, 3, 8
+    rng = np.random.default_rng(1)
+    phi = (rng.normal(size=(B, n)) + 1j * rng.normal(size=(B, n))).astype(np.complex64)
+    zeros = np.zeros((B, L), np.float32)
+    total, parts = basic_anm_loss(
+        jnp.asarray(zeros), jnp.asarray(zeros), jnp.asarray(zeros),
+        jnp.asarray(phi), jnp.asarray(zeros), jnp.asarray(zeros),
+        jnp.asarray(np.zeros(B, np.int32)),
+    )
+    want_reg = 1e-4 * np.mean(np.linalg.norm(phi, axis=-1))
+    np.testing.assert_allclose(float(parts["reg_loss"]), want_reg, rtol=1e-5)

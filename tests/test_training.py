@@ -1,0 +1,103 @@
+"""End-to-end training-driver tests on tiny problems (CPU)."""
+
+import numpy as np
+import pytest
+
+from admmnet_tpu.core.config import (
+    ADMMOptions,
+    DataConfig,
+    ModelConfig,
+    ProblemSpec,
+    TrainConfig,
+)
+from admmnet_tpu.data.generator import DatasetGenerator, generate_batch, iterate_batches
+from admmnet_tpu.train.trainer import train_admmnet, train_phinet
+from admmnet_tpu.train.schedules import sgdr_schedule
+
+import jax
+
+SPEC = ProblemSpec(Nb=4, Nd=4, L_max=2)
+DCFG = DataConfig(spec=SPEC)
+
+
+def _dataset(n, seed=0, with_phi=False):
+    data = generate_batch(jax.random.PRNGKey(seed), DCFG, n)
+    if with_phi:
+        from admmnet_tpu.data.generator import label_phi
+
+        data["phi"] = label_phi(
+            data["y"], data["b"], data["sigma"], ADMMOptions(), iters=10
+        )
+    return data
+
+
+def test_generate_batch_distributions():
+    d = _dataset(512)
+    assert d["y"].shape == (512, 16) and d["y"].dtype == np.complex64
+    assert d["tau"].min() >= 0.1 and d["tau"].max() <= 0.9
+    assert d["f"].min() >= -0.4 and d["f"].max() <= 0.4
+    np.testing.assert_allclose(np.abs(d["b"]), 1.0, atol=1e-5)
+    assert np.all(d["sigma"] >= 1.0)
+    assert d["L_true"].tolist() == [2] * 512
+    # gains roughly N(0, 0.7^2)
+    assert abs(np.std(d["C"].real) - 0.7) < 0.1
+
+
+def test_sgdr_schedule_restarts():
+    s = sgdr_schedule(1e-3, steps_per_epoch=10, total_epochs=40, t0_epochs=10)
+    # start of cycle ~ base lr; end of first cycle ~ eta_min; restart jumps back
+    assert abs(float(s(0)) - 1e-3) < 1e-9
+    assert float(s(99)) < 5e-5
+    assert abs(float(s(100)) - 1e-3) < 5e-5
+
+
+def test_train_admmnet_end_to_end(tmp_path):
+    mcfg = ModelConfig(spec=SPEC, num_layers=2, hidden_dim=32)
+    tcfg = TrainConfig(batch_size=32, epochs=2, patience=5, seed=0)
+    train = _dataset(96, seed=1)
+    val = _dataset(32, seed=2)
+    test = _dataset(32, seed=3)
+    res = train_admmnet(mcfg, tcfg, train, val, test, workdir=tmp_path / "run")
+    assert len(res.history["train_loss"]) == 2
+    assert np.isfinite(res.history["train_loss"]).all()
+    assert res.best_val_loss < np.inf
+    assert (tmp_path / "run" / "best_model.msgpack").exists()
+    assert (tmp_path / "run" / "training_history.json").exists()
+    assert (tmp_path / "run" / "test_result.json").exists()
+    assert set(res.test_metrics) >= {"precision", "recall", "f1_score", "tau_rmse"}
+
+
+def test_train_resume(tmp_path):
+    mcfg = ModelConfig(spec=SPEC, num_layers=1, hidden_dim=16)
+    train = _dataset(64, seed=4)
+    val = _dataset(32, seed=5)
+    t1 = TrainConfig(batch_size=32, epochs=1, seed=0)
+    r1 = train_admmnet(mcfg, t1, train, val, None, workdir=tmp_path / "run")
+    t2 = TrainConfig(batch_size=32, epochs=2, seed=0)
+    r2 = train_admmnet(mcfg, t2, train, val, None, workdir=tmp_path / "run")
+    # second call resumed from epoch 1 and ran only epoch 2
+    assert r2.epochs_run == 2
+    assert len(r2.history["train_loss"]) >= 2
+
+
+def test_train_phinet_improves_loss(tmp_path):
+    mcfg = ModelConfig(spec=SPEC, num_layers=2)
+    tcfg = TrainConfig(batch_size=32, epochs=4, lr=5e-3, patience=10, seed=0)
+    train = _dataset(128, seed=6, with_phi=True)
+    val = _dataset(32, seed=7, with_phi=True)
+    res = train_phinet(mcfg, tcfg, train, val, None, workdir=tmp_path / "phi")
+    losses = res.history["train_loss"]
+    assert losses[-1] < losses[0], losses
+
+
+def test_dataset_generator_roundtrip(tmp_path):
+    gen = DatasetGenerator(DCFG, data_dir=tmp_path / "ds")
+    gen.generate_complete_dataset(total_samples=40, seed=0, with_phi=True,
+                                  phi_iters=5)
+    loaded = gen.load_split("train")
+    assert loaded["y"].shape[0] == 28  # 0.7 * 40
+    assert "phi" in loaded
+    val = gen.load_split("val")
+    assert val["y"].shape[0] == 6
+    batches = list(iterate_batches(loaded, 10, shuffle=True, seed=0))
+    assert sum(b["y"].shape[0] for b in batches) == 28
