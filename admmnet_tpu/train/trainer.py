@@ -130,23 +130,15 @@ def train_phinet(
     )
 
 
-def _train_loop(
-    model, mcfg, tcfg, train_data, val_data, test_data, workdir, log_fn, mode
-):
-    workdir = Path(workdir)
-    workdir.mkdir(parents=True, exist_ok=True)
-    n_train = train_data["y"].shape[0]
-    steps_per_epoch = max(1, n_train // tcfg.batch_size)
-    tx = make_optimizer(tcfg, steps_per_epoch)
+def build_steps(model, tx, mode: str):
+    """Build (train_step, eval_step) pure functions for ``model``.
 
-    rng = jax.random.PRNGKey(tcfg.seed)
-    init_b = {k: v[:2] for k, v in train_data.items()}
-    # init through the complex-safe boundary (host complex can't feed jit
-    # directly on the TPU tunnel backend; see utils.host)
-    params = cjit(lambda key, y, b, s: model.init(key, y, b, s))(
-        rng, init_b["y"], init_b["b"], init_b["sigma"]
-    )
-    opt_state = tx.init(params)
+    ``mode``: "e2e" (ADMMNet + BasicANMLoss) or "phi" (PhiEstADMMNet +
+    PhiAlignmentLoss).  train_step: (params, opt_state, batch, dropout_key)
+    -> (params, opt_state, total_loss); eval_step: (params, batch) ->
+    (total_loss, aux).  Shared by the single-device trainer, the mesh
+    dry-run, and the graft entry.
+    """
 
     def loss_and_metrics(p, batch, dropout_key, deterministic):
         if mode == "e2e":
@@ -180,6 +172,28 @@ def _train_loop(
         total, (parts, aux) = loss_and_metrics(p, batch, None, True)
         return total, aux
 
+    return train_step, eval_step
+
+
+def _train_loop(
+    model, mcfg, tcfg, train_data, val_data, test_data, workdir, log_fn, mode
+):
+    workdir = Path(workdir)
+    workdir.mkdir(parents=True, exist_ok=True)
+    n_train = train_data["y"].shape[0]
+    steps_per_epoch = max(1, n_train // tcfg.batch_size)
+    tx = make_optimizer(tcfg, steps_per_epoch)
+
+    rng = jax.random.PRNGKey(tcfg.seed)
+    init_b = {k: v[:2] for k, v in train_data.items()}
+    # init through the complex-safe boundary (host complex can't feed jit
+    # directly on the TPU tunnel backend; see utils.host)
+    params = cjit(lambda key, y, b, s: model.init(key, y, b, s))(
+        rng, init_b["y"], init_b["b"], init_b["sigma"]
+    )
+    opt_state = tx.init(params)
+
+    train_step, eval_step = build_steps(model, tx, mode)
     train_step_j = cjit(train_step)
     eval_step_j = cjit(eval_step)
 
