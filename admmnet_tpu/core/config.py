@@ -55,7 +55,9 @@ class ADMMOptions:
     matrix entry, i.e. solves with ``D^{-1} + rho*11^T`` instead of
     ``D^{-1} + rho*I`` (handled closed-form via Sherman-Morrison here).
 
-    ``g_update`` selects the PSD step: ``"eigh"`` is the true projection onto
+    ``g_update`` selects the PSD step: ``"polar"`` (default for throughput
+    paths) is a matmul-only minimax quintic matrix-sign schedule (see
+    ops.projections.POLAR_QUINTIC_SCHEDULE); ``"eigh"`` is the true projection onto
     the PSD cone (eigendecompose, clamp negative eigenvalues; what the learned
     GLayer does, reference admm_net.py:303-334); ``"newton_schulz"`` is a
     matmul-only (MXU-friendly) approximation via the matrix-sign Newton-Schulz
@@ -71,13 +73,13 @@ class ADMMOptions:
     use_min_iter: bool = True
     min_iter: int = 5
     phi_update: str = "diag"  # "diag" | "ref_dense"
-    g_update: str = "eigh"  # "eigh" | "newton_schulz" | "ref_identity"
+    g_update: str = "eigh"  # "eigh" | "polar" | "newton_schulz" | "ref_identity"
     newton_schulz_iters: int = 24
 
     def __post_init__(self):
         if self.phi_update not in ("diag", "ref_dense"):
             raise ValueError(f"unknown phi_update {self.phi_update!r}")
-        if self.g_update not in ("eigh", "newton_schulz", "ref_identity"):
+        if self.g_update not in ("eigh", "polar", "newton_schulz", "ref_identity"):
             raise ValueError(f"unknown g_update {self.g_update!r}")
 
 

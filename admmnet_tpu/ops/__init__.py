@@ -11,6 +11,7 @@ from admmnet_tpu.ops.projections import (
     project_sum_inf,
     psd_project_eigh,
     psd_project_newton_schulz,
+    psd_project_polar,
 )
 from admmnet_tpu.ops.linalg import (
     assemble_lifted,
@@ -33,6 +34,7 @@ __all__ = [
     "project_sum_inf",
     "psd_project_eigh",
     "psd_project_newton_schulz",
+    "psd_project_polar",
     "assemble_lifted",
     "fro_norm",
     "hermitianize",

@@ -54,6 +54,7 @@ from admmnet_tpu.ops.projections import (
     project_sum_inf,
     psd_project_eigh,
     psd_project_newton_schulz,
+    psd_project_polar,
 )
 
 
@@ -102,6 +103,8 @@ def _phi_update_ref_dense(y, b, g, zeta, rho):
 def _g_step(M, opts: ADMMOptions):
     if opts.g_update == "eigh":
         return psd_project_eigh(M)
+    if opts.g_update == "polar":
+        return psd_project_polar(M)
     if opts.g_update == "newton_schulz":
         return psd_project_newton_schulz(M, opts.newton_schulz_iters)
     # "ref_identity": the reference's SVD step on a Hermitian matrix

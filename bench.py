@@ -38,7 +38,7 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", 2048))
     ITERS = int(os.environ.get("BENCH_ITERS", 100))
-    G_MODE = os.environ.get("BENCH_G", "newton_schulz")
+    G_MODE = os.environ.get("BENCH_G", "polar")
     REPEATS = int(os.environ.get("BENCH_REPEATS", 2))
     opts = ADMMOptions(g_update=G_MODE)
 

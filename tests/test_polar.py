@@ -1,0 +1,48 @@
+"""Minimax quintic polar PSD projection: accuracy vs exact eigh."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from admmnet_tpu.core.config import ADMMOptions
+from admmnet_tpu.data.anchor import make_anchor_batch
+from admmnet_tpu.ops.projections import (
+    POLAR_QUINTIC_SCHEDULE,
+    psd_project_eigh,
+    psd_project_polar,
+)
+from admmnet_tpu.peaks import scale_invariant_nmse
+from admmnet_tpu.solver import admm_solve_fixed
+
+
+def test_polar_schedule_sign_accuracy():
+    """The composed polynomial maps [1e-3, 1] to within 1e-6 of 1."""
+    x = np.linspace(1e-3, 1.0, 50001)
+    y = x.copy()
+    for a, b, c in POLAR_QUINTIC_SCHEDULE:
+        y = a * y + b * y**3 + c * y**5
+    assert np.abs(y - 1.0).max() < 1e-6
+
+
+def test_polar_matches_eigh_on_random_hermitian():
+    rng = np.random.default_rng(3)
+    X = (rng.normal(size=(12, 101, 101)) + 1j * rng.normal(size=(12, 101, 101))).astype(
+        np.complex64
+    )
+    M = (X + np.conj(np.swapaxes(X, -1, -2))) / 2
+    Pe = np.asarray(psd_project_eigh(jnp.asarray(M)))
+    Pp = np.asarray(psd_project_polar(jnp.asarray(M)))
+    err = np.linalg.norm(Pe - Pp, axis=(1, 2)) / np.linalg.norm(Pe, axis=(1, 2))
+    assert err.max() < 2e-4, err.max()
+
+
+def test_polar_solver_mode_matches_eigh_mode():
+    y, b, s = make_anchor_batch(2, mode="redemod", seed=5)
+    phi_e = np.asarray(
+        admm_solve_fixed(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 40, 1.0,
+                         ADMMOptions(g_update="eigh"))
+    )
+    phi_p = np.asarray(
+        admm_solve_fixed(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 40, 1.0,
+                         ADMMOptions(g_update="polar"))
+    )
+    assert scale_invariant_nmse(phi_p, phi_e) < 1e-4
