@@ -1,0 +1,140 @@
+"""Pallas TPU kernel: fused minimax-quintic polar PSD projection.
+
+The PSD step is ~94% of classical-solve time (profiled; see solver/admm.py).
+The XLA path streams every intermediate of every polynomial step through HBM;
+this kernel keeps the whole 7-step schedule resident in VMEM per matrix:
+
+- grid over the instance batch, one (padded) matrix per program;
+- complex arrives as separate real/imag f32 planes (the MXU has no complex
+  type, and the host boundary cannot carry complex on this backend anyway);
+- Hermitian structure cuts matmuls: for Hermitian X (Xr symmetric, Xi
+  antisymmetric), X^2 costs 3 real matmuls with one transpose reuse
+  (X2i = XrXi - (XrXi)^T), and a general product of commuting Hermitians
+  uses the 3-matmul Karatsuba form;
+- matrices are zero-padded 101 -> 128 (MXU tile); zero eigenvalues are fixed
+  points of the sign schedule so padding is exact.
+
+Cost per matrix per call: ~66 real 128^3 matmuls (~0.28 GFLOP), fully
+MXU-resident; HBM traffic is one load + one store of the matrix planes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from admmnet_tpu.ops.projections import POLAR_QUINTIC_SCHEDULE
+
+TILE = 128
+
+# MXU matmul precision: DEFAULT is one-pass bf16 (relative error ~4e-3 --
+# measured as ~0.13 absolute on unit-normal 128x128 products, which breaks
+# the sign iteration's tail).  HIGHEST is the 6-pass f32-equivalent.  The
+# sign iteration is self-correcting, so early steps run in fast bf16 and
+# only the last ``hi_steps`` plus the final |M| product pay for HIGHEST.
+
+
+def _mm(a, b, hi):
+    return jax.lax.dot(
+        a, b,
+        precision=jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _polar_kernel(mr_ref, mi_ref, pr_ref, pi_ref, *, schedule, hi_steps):
+    Mr = mr_ref[0]
+    Mi = mi_ref[0]
+
+    # Frobenius norm >= spectral norm: scale spectrum into [-1, 1]
+    norm = jnp.sqrt(jnp.sum(Mr * Mr) + jnp.sum(Mi * Mi))
+    inv = 1.0 / jnp.maximum(norm, 1e-30)
+    Xr = Mr * inv
+    Xi = Mi * inv
+
+    eye = jnp.eye(TILE, dtype=jnp.float32)
+
+    nsteps = len(schedule)
+    for k, (a, b, c) in enumerate(schedule):
+        hi = k >= nsteps - hi_steps
+        # X2 = X @ X for Hermitian X: X2r = XrXr - XiXi (symmetric),
+        # X2i = XrXi + XiXr = XrXi - (XrXi)^T (antisymmetric)  [3 matmuls]
+        XrXi = _mm(Xr, Xi, hi)
+        X2r = _mm(Xr, Xr, hi) - _mm(Xi, Xi, hi)
+        X2i = XrXi - XrXi.T
+        # X4 = X2 @ X2 likewise  [3 matmuls]
+        X2rX2i = _mm(X2r, X2i, hi)
+        X4r = _mm(X2r, X2r, hi) - _mm(X2i, X2i, hi)
+        X4i = X2rX2i - X2rX2i.T
+        # Y = a I + b X2 + c X4 (Hermitian, commutes with X)
+        Yr = a * eye + b * X2r + c * X4r
+        Yi = b * X2i + c * X4i
+        # X <- X @ Y, Karatsuba: 3 matmuls
+        t1 = _mm(Xr, Yr, hi)
+        t2 = _mm(Xi, Yi, hi)
+        t3 = _mm(Xr + Xi, Yr + Yi, hi)
+        Xr = t1 - t2
+        Xi = t3 - t1 - t2
+    # S = sign(M)/norm-domain; |M| = (S M + M S)/2 in original scale.
+    # S commutes with M so S@M is Hermitian: compute once, symmetrize.
+    t1 = _mm(Xr, Mr, True)
+    t2 = _mm(Xi, Mi, True)
+    t3 = _mm(Xr + Xi, Mr + Mi, True)
+    Ar = t1 - t2
+    Ai = t3 - t1 - t2
+    Ar = 0.5 * (Ar + Ar.T)
+    Ai = 0.5 * (Ai - Ai.T)
+    # P = (M + |M|)/2, Hermitian-symmetrized
+    Pr = 0.5 * (Mr + Ar)
+    Pi = 0.5 * (Mi + Ai)
+    pr_ref[0] = 0.5 * (Pr + Pr.T)
+    pi_ref[0] = 0.5 * (Pi - Pi.T)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "hi_steps"))
+def psd_project_polar_pallas(
+    M: jnp.ndarray, interpret: bool = False, hi_steps: int = 7
+) -> jnp.ndarray:
+    """PSD projection of batched Hermitian complex64 (..., m, m), m <= 128.
+
+    Drop-in replacement for ops.projections.psd_project_polar on TPU.
+    NOTE hi_steps < 7 (bf16 early steps) diverges: the large early schedule
+    coefficients amplify one-pass-bf16 matmul noise out of the sign basin
+    (measured rel err ~2e2); keep all steps at HIGHEST.
+    """
+    batch_shape = M.shape[:-2]
+    m = M.shape[-1]
+    M = M.reshape(-1, m, m)
+    B = M.shape[0]
+    Mr = jnp.real(M)
+    Mi = jnp.imag(M)
+    if m < TILE:
+        pad = ((0, 0), (0, TILE - m), (0, TILE - m))
+        Mr = jnp.pad(Mr, pad)
+        Mi = jnp.pad(Mi, pad)
+
+    kernel = functools.partial(
+        _polar_kernel, schedule=POLAR_QUINTIC_SCHEDULE, hi_steps=hi_steps
+    )
+    spec = pl.BlockSpec((1, TILE, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    Pr, Pi = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, TILE, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((B, TILE, TILE), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=B * 66 * 2 * TILE**3, bytes_accessed=B * 4 * TILE * TILE * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(Mr, Mi)
+    out = (Pr[:, :m, :m] + 1j * Pi[:, :m, :m]).astype(jnp.complex64)
+    return out.reshape(*batch_shape, m, m)

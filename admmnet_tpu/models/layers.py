@@ -131,7 +131,8 @@ class GLayer(nn.Module):
         s = jax.nn.sigmoid(s)[..., 0]
         w_new = (base * s).astype(COMPLEX)
 
-        G = jnp.einsum("...ij,...j,...kj->...ik", V, w_new, jnp.conj(V))
+        G = jnp.einsum("...ij,...j,...kj->...ik", V, w_new, jnp.conj(V),
+                       precision=jax.lax.Precision.HIGHEST)
         return hermitianize(G)
 
 

@@ -40,6 +40,12 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# TPU MXU note: DEFAULT matmul precision is one-pass bf16, whose noise the
+# large early coefficients of the sign schedules amplify into divergence
+# (measured: relative error ~2e2 vs eigh at DEFAULT, 1.4e-5 at HIGHEST).
+# Every numerically-critical contraction below pins HIGHEST explicitly.
+_HI = jax.lax.Precision.HIGHEST
+
 
 def project_l1_ball(v: jnp.ndarray, radius: jnp.ndarray, iters: int = 32) -> jnp.ndarray:
     """Euclidean projection of real v (..., n) onto {x : ||x||_1 <= radius}.
@@ -128,7 +134,8 @@ def psd_project_eigh(M: jnp.ndarray) -> jnp.ndarray:
     w, V = hermitian_eigh(M)
     w = jnp.maximum(w, 0.0)
     return jnp.einsum(
-        "...ij,...j,...kj->...ik", V, w.astype(M.dtype), jnp.conj(V)
+        "...ij,...j,...kj->...ik", V, w.astype(M.dtype), jnp.conj(V),
+        precision=_HI,
     )
 
 
@@ -148,11 +155,12 @@ def _matrix_abs_newton_schulz(M: jnp.ndarray, iters: int) -> jnp.ndarray:
     X = M / scale
 
     def body(_, X):
-        X2 = X @ X
-        return 1.5 * X - 0.5 * (X @ X2)
+        X2 = jnp.matmul(X, X, precision=_HI)
+        return 1.5 * X - 0.5 * jnp.matmul(X, X2, precision=_HI)
 
     S = lax.fori_loop(0, iters, body, X)
-    return (S @ M + M @ S) * 0.5  # symmetrized sign(M) @ M
+    # symmetrized sign(M) @ M
+    return (jnp.matmul(S, M, precision=_HI) + jnp.matmul(M, S, precision=_HI)) * 0.5
 
 
 def psd_project_newton_schulz(M: jnp.ndarray, iters: int = 24) -> jnp.ndarray:
@@ -189,10 +197,10 @@ def _matrix_abs_polar(M: jnp.ndarray, schedule=POLAR_QUINTIC_SCHEDULE) -> jnp.nd
     scale = jnp.maximum(jnp.real(normF), 1e-30).astype(M.dtype)
     X = M / scale
     for a, b, c in schedule:
-        X2 = X @ X
-        X4 = X2 @ X2
-        X = X @ (a * eye + b * X2 + c * X4)
-    return (X @ M + M @ X) * 0.5
+        X2 = jnp.matmul(X, X, precision=_HI)
+        X4 = jnp.matmul(X2, X2, precision=_HI)
+        X = jnp.matmul(X, a * eye + b * X2 + c * X4, precision=_HI)
+    return (jnp.matmul(X, M, precision=_HI) + jnp.matmul(M, X, precision=_HI)) * 0.5
 
 
 def psd_project_polar(M: jnp.ndarray, schedule=POLAR_QUINTIC_SCHEDULE) -> jnp.ndarray:

@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -82,7 +83,8 @@ def _refine(phi, tau0, f0, cfg: PeakSearchConfig, Nb: int, Nd: int):
         )
         S = doppler_steering(fs, Nb)  # (B, K, P, Nb)
         Dc = jnp.conj(delay_steering(taus, Nd))  # (B, K, P, Nd)
-        Zl = jnp.abs(jnp.einsum("bzpm,bmk,bzqk->bzpq", S, Phi, Dc)) ** 2
+        Zl = jnp.abs(jnp.einsum("bzpm,bmk,bzqk->bzpq", S, Phi, Dc,
+                                 precision=jax.lax.Precision.HIGHEST)) ** 2
         flat = Zl.reshape(*Zl.shape[:-2], P * P)
         idx = jnp.argmax(flat, axis=-1)
         height = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]

@@ -17,6 +17,7 @@ i.e. two small dense matmuls (MXU) shared across the instance batch, with no
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from admmnet_tpu.ops.atoms import delay_steering, doppler_steering
@@ -32,7 +33,8 @@ def spectrum_grid(phi: jnp.ndarray, taus, fs, Nb: int, Nd: int) -> jnp.ndarray:
     Phi = jnp.conj(phi).reshape(*phi.shape[:-1], Nb, Nd)
     S = doppler_steering(jnp.asarray(fs), Nb)  # (ny, Nb)
     Dc = jnp.conj(delay_steering(jnp.asarray(taus), Nd))  # (nx, Nd)
-    inner = jnp.einsum("ym,...mk,xk->...yx", S, Phi, Dc)
+    inner = jnp.einsum("ym,...mk,xk->...yx", S, Phi, Dc,
+                       precision=jax.lax.Precision.HIGHEST)
     return jnp.abs(inner) ** 2
 
 
@@ -45,5 +47,6 @@ def spectrum_at(phi: jnp.ndarray, taus, fs, Nb: int, Nd: int) -> jnp.ndarray:
     Phi = jnp.conj(phi).reshape(*phi.shape[:-1], Nb, Nd)
     S = doppler_steering(jnp.asarray(fs), Nb)  # (..., P, Nb)
     Dc = jnp.conj(delay_steering(jnp.asarray(taus), Nd))  # (..., P, Nd)
-    inner = jnp.einsum("...pm,...mk,...pk->...p", S, Phi, Dc)
+    inner = jnp.einsum("...pm,...mk,...pk->...p", S, Phi, Dc,
+                       precision=jax.lax.Precision.HIGHEST)
     return jnp.abs(inner) ** 2
