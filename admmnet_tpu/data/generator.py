@@ -83,10 +83,25 @@ def _generate_device(key, cfg: DataConfig, batch: int):
     }
 
 
-def generate_batch(key, cfg: DataConfig, batch: int) -> Dict[str, np.ndarray]:
-    """Generate one batch on device and fetch to host numpy."""
-    out = jax.jit(_generate_device, static_argnums=(1, 2))(key, cfg, batch)
-    return to_host(out)
+def generate_batch(
+    key, cfg: DataConfig, batch: int, chunk: int = 2048
+) -> Dict[str, np.ndarray]:
+    """Generate a batch on device and fetch to host numpy.
+
+    Generation runs in fixed-size ``chunk`` pieces so ONE compiled program
+    serves every call regardless of split size (remote-compile latency on
+    the tunnel backend is erratic; shape discipline keeps it off the path).
+    """
+    fn = jax.jit(_generate_device, static_argnums=(1, 2))
+    if batch < 256:  # tiny (test-sized) batches keep their exact shape
+        return to_host(fn(key, cfg, batch))
+    outs = []
+    produced = 0
+    while produced < batch:
+        key, sub = jax.random.split(key)
+        outs.append(to_host(fn(sub, cfg, chunk)))
+        produced += chunk
+    return {k: np.concatenate([o[k] for o in outs])[:batch] for k in outs[0]}
 
 
 def label_phi(
@@ -102,14 +117,26 @@ def label_phi(
     reference's per-sample solver loop, generate_data.py:444-452)."""
     from admmnet_tpu.solver import admm_solve_fixed
     from admmnet_tpu.utils.host import cjit
+    from admmnet_tpu.utils.retry import device_retry
 
     opts = opts or ADMMOptions()
     run = cjit(
         lambda y, b, s: admm_solve_fixed(y, b, s, iters, lambda_val, opts)
     )
+    N = y.shape[0]
+    # keep ONE compiled shape across all splits: small inputs pad up to 256,
+    # everything else pads up to ``chunk``
+    chunk = chunk if N >= 256 else 256
     outs = []
-    for i in range(0, y.shape[0], chunk):
-        outs.append(to_host(run(y[i : i + chunk], b[i : i + chunk], sigma[i : i + chunk])))
+    for i in range(0, N, chunk):
+        ye, be, se = y[i : i + chunk], b[i : i + chunk], sigma[i : i + chunk]
+        pad = chunk - ye.shape[0]
+        if pad:  # pad the tail chunk so every call shares ONE compiled shape
+            ye = np.concatenate([ye, np.repeat(ye[-1:], pad, 0)])
+            be = np.concatenate([be, np.repeat(be[-1:], pad, 0)])
+            se = np.concatenate([se, np.repeat(se[-1:], pad, 0)])
+        phi = device_retry(lambda: to_host(run(ye, be, se)))()
+        outs.append(phi[: chunk - pad] if pad else phi)
     return np.concatenate(outs, axis=0)
 
 
@@ -132,15 +159,23 @@ class DatasetGenerator:
         key = jax.random.PRNGKey(seed)
         kt, kv, ks = jax.random.split(key, 3)
         splits = {}
+        import time as _time
+
         for name, k, count in (
             ("train", kt, n_train), ("val", kv, n_val), ("test", ks, n_test)
         ):
+            t0 = _time.time()
             raw = generate_batch(k, cfg, count)
+            print(f"[datagen] {name}: generated {count} samples "
+                  f"({_time.time() - t0:.1f}s)", flush=True)
             if with_phi:
+                t0 = _time.time()
                 phi = label_phi(
                     raw["y"], raw["b"], raw["sigma"], phi_opts, phi_iters
                 )
                 raw["phi"] = phi
+                print(f"[datagen] {name}: phi-labelled "
+                      f"({_time.time() - t0:.1f}s)", flush=True)
             splits[name] = raw
             self._save_split(name, raw)
         self._save_config(total_samples, n_train, n_val, n_test, with_phi)

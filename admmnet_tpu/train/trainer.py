@@ -35,8 +35,10 @@ from admmnet_tpu.data.generator import iterate_batches
 from admmnet_tpu.models import ADMMNet, PhiEstADMMNet
 from admmnet_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
 from admmnet_tpu.train.losses import basic_anm_loss, phi_alignment_loss
+from admmnet_tpu.train.metrics_io import MetricsWriter
 from admmnet_tpu.train.schedules import sgdr_schedule
 from admmnet_tpu.utils.host import cjit, to_host
+from admmnet_tpu.utils.retry import device_retry
 
 
 def _param_label(path, _leaf) -> str:
@@ -175,11 +177,25 @@ def build_steps(model, tx, mode: str):
     return train_step, eval_step
 
 
+def _batches(data, batch_size, shuffle, seed):
+    """Minibatch stream: native C++ prefetch loader when available
+    (data/loader.py), else the numpy iterator."""
+    try:
+        from admmnet_tpu.data.loader import PrefetchLoader, native_available
+
+        if native_available():
+            return PrefetchLoader(data, batch_size, shuffle=shuffle, seed=seed)
+    except Exception:
+        pass
+    return iterate_batches(data, batch_size, shuffle=shuffle, seed=seed)
+
+
 def _train_loop(
     model, mcfg, tcfg, train_data, val_data, test_data, workdir, log_fn, mode
 ):
     workdir = Path(workdir)
     workdir.mkdir(parents=True, exist_ok=True)
+    metrics = MetricsWriter(workdir)
     n_train = train_data["y"].shape[0]
     steps_per_epoch = max(1, n_train // tcfg.batch_size)
     tx = make_optimizer(tcfg, steps_per_epoch)
@@ -194,8 +210,8 @@ def _train_loop(
     opt_state = tx.init(params)
 
     train_step, eval_step = build_steps(model, tx, mode)
-    train_step_j = cjit(train_step)
-    eval_step_j = cjit(eval_step)
+    train_step_j = device_retry(cjit(train_step), log_fn=log_fn)
+    eval_step_j = device_retry(cjit(eval_step), log_fn=log_fn)
 
     # resume (reference train.py:136-145)
     start_epoch, best_val, patience_ct = 0, float("inf"), 0
@@ -221,8 +237,8 @@ def _train_loop(
         t_ep = time.time()
         tr_losses = []
         for bi, batch in enumerate(
-            iterate_batches(train_data, tcfg.batch_size, shuffle=True,
-                            seed=tcfg.seed + epoch)
+            _batches(train_data, tcfg.batch_size, shuffle=True,
+                     seed=tcfg.seed + epoch)
         ):
             dk = jax.random.fold_in(rng, step)
             params, opt_state, total = train_step_j(params, opt_state, batch, dk)
@@ -232,7 +248,7 @@ def _train_loop(
 
         # validation
         va_losses, tau_es, f_es = [], [], []
-        for batch in iterate_batches(val_data, tcfg.batch_size, shuffle=False):
+        for batch in _batches(val_data, tcfg.batch_size, shuffle=False, seed=0):
             total, aux = eval_step_j(params, batch)
             va_losses.append(float(total))
             if mode == "e2e":
@@ -246,6 +262,11 @@ def _train_loop(
         history["tau_rmse"].append(float(np.mean(tau_es)) if tau_es else 0.0)
         history["f_rmse"].append(float(np.mean(f_es)) if f_es else 0.0)
         history["lr"].append(float(sched_probe(step)))
+        metrics.log(
+            "epoch", epoch=epoch + 1, train_loss=tr_loss, val_loss=va_loss,
+            tau_rmse=history["tau_rmse"][-1], f_rmse=history["f_rmse"][-1],
+            lr=history["lr"][-1],
+        )
 
         log_fn(
             f"epoch {epoch + 1}/{tcfg.epochs} {time.time() - t_ep:.1f}s "
@@ -264,8 +285,7 @@ def _train_loop(
             )
         else:
             patience_ct += 1
-        with open(workdir / "training_history.json", "w") as fp:
-            json.dump(history, fp, indent=2)
+        metrics.write_history(history)
         if patience_ct >= tcfg.patience:
             log_fn(f"early stop at epoch {epoch + 1}")
             break
@@ -279,7 +299,7 @@ def _train_loop(
     if test_data is not None:
         te_losses, tau_es, f_es = [], [], []
         tp = fp = fn = 0
-        for batch in iterate_batches(test_data, tcfg.batch_size, shuffle=False):
+        for batch in _batches(test_data, tcfg.batch_size, shuffle=False, seed=0):
             total, aux = eval_step_j(params, batch)
             te_losses.append(float(total))
             if mode == "e2e":
@@ -305,8 +325,8 @@ def _train_loop(
             "recall": recall,
             "f1_score": f1,
         }
-        with open(workdir / "test_result.json", "w") as fp_:
-            json.dump(test_metrics, fp_, indent=2)
+        metrics.write_test_result(test_metrics)
+        metrics.log("test", **test_metrics)
 
     return TrainResult(
         params=params,
