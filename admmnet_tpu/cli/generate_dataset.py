@@ -25,13 +25,15 @@ def build_parser():
     p.add_argument("--with-phi", action="store_true",
                    help="label with classical-solver phi (batched)")
     p.add_argument("--phi-iters", type=int, default=100)
+    p.add_argument("--phi-g-update", default="polar",
+                   help="PSD step for the labeller (polar|newton_schulz|eigh)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    from admmnet_tpu.core.config import DataConfig, ProblemSpec
+    from admmnet_tpu.core.config import ADMMOptions, DataConfig, ProblemSpec
     from admmnet_tpu.data.generator import DatasetGenerator
 
     snr = (
@@ -47,6 +49,7 @@ def main(argv=None):
     gen.generate_complete_dataset(
         total_samples=args.total, seed=args.seed, with_phi=args.with_phi,
         phi_iters=args.phi_iters,
+        phi_opts=ADMMOptions(g_update=args.phi_g_update),
     )
     print(f"dataset written to {args.out}")
 

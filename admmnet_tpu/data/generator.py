@@ -111,7 +111,7 @@ def label_phi(
     opts: Optional[ADMMOptions] = None,
     iters: int = 100,
     lambda_val: float = 1.0,
-    chunk: int = 2048,
+    chunk: int = 1024,
 ) -> np.ndarray:
     """Label instances with classical-solver phi (batched replacement for the
     reference's per-sample solver loop, generate_data.py:444-452)."""
@@ -128,7 +128,10 @@ def label_phi(
     # everything else pads up to ``chunk``
     chunk = chunk if N >= 256 else 256
     outs = []
+    import time as _time
+
     for i in range(0, N, chunk):
+        _t0 = _time.time()
         ye, be, se = y[i : i + chunk], b[i : i + chunk], sigma[i : i + chunk]
         pad = chunk - ye.shape[0]
         if pad:  # pad the tail chunk so every call shares ONE compiled shape
@@ -136,6 +139,8 @@ def label_phi(
             be = np.concatenate([be, np.repeat(be[-1:], pad, 0)])
             se = np.concatenate([se, np.repeat(se[-1:], pad, 0)])
         phi = device_retry(lambda: to_host(run(ye, be, se)))()
+        print(f"[label] chunk {i // chunk + 1}/{-(-N // chunk)} "
+              f"({_time.time() - _t0:.1f}s)", flush=True)
         outs.append(phi[: chunk - pad] if pad else phi)
     return np.concatenate(outs, axis=0)
 
