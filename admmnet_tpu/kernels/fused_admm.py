@@ -5,6 +5,17 @@ VMEM across every iteration -- zero HBM traffic between iterations and no
 per-op dispatch for the phi-update / H-projection / assembly / dual ascent
 that the XLA path pays for 100 times per solve.
 
+MEASURED NEGATIVE RESULT (v5e, B=1024, 100 iters): 5.7k inst-iter/s vs the
+XLA-glue + per-step polar kernel's 54.5k.  One-instance-per-program
+serializes (a) the nested-bisection H-projection onto a single (1, TILE)
+VPU row (32x32 sequential reduction steps per iteration that the XLA path
+instead batches across all instances) and (b) the dependent 128^3 matmul
+chain, which cannot pipeline across instances from inside one program.
+The solve is NOT HBM-bound between iterations (measured ~85 GB/s of ~819),
+so the fusion solves a non-problem.  Kept as a correctness-checked
+demonstration; the production path is solver.admm_solve_fixed with
+kernels.polar for the PSD step.
+
 Structure per iteration (math identical to solver/admm.py's fixed path with
 phi_update="diag", g_update="polar"):
 
@@ -140,10 +151,10 @@ def _fused_kernel(
     sub = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
     row_is_n = (sub == n).astype(jnp.float32)  # (TILE, 1)
 
-    yob_r = yob_r_ref[...] * lane_ok
-    yob_i = yob_i_ref[...] * lane_ok
-    w = w_ref[...] * lane_ok
-    A = A_ref[0, 0]
+    yob_r = yob_r_ref[0] * lane_ok
+    yob_i = yob_i_ref[0] * lane_ok
+    w = w_ref[0] * lane_ok
+    A = A_ref[0, 0, 0]
 
     def body(_, carry):
         Gr, Gi, Zr, Zi, _pr, _pi = carry
@@ -186,8 +197,8 @@ def _fused_kernel(
     _, _, _, _, phi_r, phi_i = jax.lax.fori_loop(
         0, num_iters, body, (zeros, zeros, zeros, zeros, zrow, zrow)
     )
-    phi_r_ref[...] = phi_r
-    phi_i_ref[...] = phi_i
+    phi_r_ref[0] = phi_r
+    phi_i_ref[0] = phi_i
 
 
 @functools.partial(
@@ -218,11 +229,13 @@ def admm_solve_fused(
     w = (b_sq / (1.0 + rho * b_sq)).astype(jnp.float32)
     yob = y / b
     pad = ((0, 0), (0, TILE - n))
-    yob_r = jnp.pad(jnp.real(yob).astype(jnp.float32), pad)
-    yob_i = jnp.pad(jnp.imag(yob).astype(jnp.float32), pad)
-    w = jnp.pad(w, pad)
+    # rows are carried as (B, 1, TILE) so the VMEM block (1, 1, TILE) has its
+    # sublane dim equal to the array dim (Mosaic divisibility rule).
+    yob_r = jnp.pad(jnp.real(yob).astype(jnp.float32), pad)[:, None, :]
+    yob_i = jnp.pad(jnp.imag(yob).astype(jnp.float32), pad)[:, None, :]
+    w = jnp.pad(w, pad)[:, None, :]
     sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (B,))
-    A = (2.0 * jnp.sqrt(float(n)) * sigma + sigma**2).reshape(B, 1)
+    A = (2.0 * jnp.sqrt(float(n)) * sigma + sigma**2).reshape(B, 1, 1)
 
     kernel = functools.partial(
         _fused_kernel,
@@ -233,14 +246,14 @@ def admm_solve_fused(
         outer_iters=outer_iters,
         inner_iters=inner_iters,
     )
-    row = pl.BlockSpec((1, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    scal = pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    row = pl.BlockSpec((1, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    scal = pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
     phi_r, phi_i = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[row, row, row, scal],
         out_specs=[row, row],
-        out_shape=[jax.ShapeDtypeStruct((B, TILE), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((B, 1, TILE), jnp.float32)] * 2,
         cost_estimate=pl.CostEstimate(
             flops=B * num_iters * 66 * 2 * TILE**3,
             bytes_accessed=B * 6 * TILE * 4,
@@ -248,4 +261,4 @@ def admm_solve_fused(
         ),
         interpret=interpret,
     )(yob_r, yob_i, w, A)
-    return (phi_r[:, :n] + 1j * phi_i[:, :n]).astype(jnp.complex64)
+    return (phi_r[:, 0, :n] + 1j * phi_i[:, 0, :n]).astype(jnp.complex64)
