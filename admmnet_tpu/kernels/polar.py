@@ -46,58 +46,72 @@ def _mm(a, b, hi):
     )
 
 
-def _polar_kernel(mr_ref, mi_ref, pr_ref, pi_ref, *, schedule, hi_steps):
-    Mr = mr_ref[0]
-    Mi = mi_ref[0]
+def _polar_kernel(mr_ref, mi_ref, pr_ref, pi_ref, *, schedule, hi_steps, kblk):
+    """``kblk`` independent chains per program, interleaved op-by-op.
+
+    A single 128^3 matmul chain is dependency-bound on the MXU; issuing the
+    same op for kblk independent matrices back-to-back fills the pipeline
+    (measured on v5e: K=4 is ~1.19x K=1 on the pure projection)."""
+    K = kblk
+    Mr = [mr_ref[k] for k in range(K)]
+    Mi = [mi_ref[k] for k in range(K)]
 
     # Frobenius norm >= spectral norm: scale spectrum into [-1, 1]
-    norm = jnp.sqrt(jnp.sum(Mr * Mr) + jnp.sum(Mi * Mi))
-    inv = 1.0 / jnp.maximum(norm, 1e-30)
-    Xr = Mr * inv
-    Xi = Mi * inv
+    inv = [
+        1.0
+        / jnp.maximum(
+            jnp.sqrt(jnp.sum(Mr[k] * Mr[k]) + jnp.sum(Mi[k] * Mi[k])), 1e-30
+        )
+        for k in range(K)
+    ]
+    Xr = [Mr[k] * inv[k] for k in range(K)]
+    Xi = [Mi[k] * inv[k] for k in range(K)]
 
     eye = jnp.eye(TILE, dtype=jnp.float32)
 
     nsteps = len(schedule)
-    for k, (a, b, c) in enumerate(schedule):
-        hi = k >= nsteps - hi_steps
+    for s, (a, b, c) in enumerate(schedule):
+        hi = s >= nsteps - hi_steps
         # X2 = X @ X for Hermitian X: X2r = XrXr - XiXi (symmetric),
         # X2i = XrXi + XiXr = XrXi - (XrXi)^T (antisymmetric)  [3 matmuls]
-        XrXi = _mm(Xr, Xi, hi)
-        X2r = _mm(Xr, Xr, hi) - _mm(Xi, Xi, hi)
-        X2i = XrXi - XrXi.T
+        XrXi = [_mm(Xr[k], Xi[k], hi) for k in range(K)]
+        X2r = [_mm(Xr[k], Xr[k], hi) - _mm(Xi[k], Xi[k], hi) for k in range(K)]
+        X2i = [XrXi[k] - XrXi[k].T for k in range(K)]
         # X4 = X2 @ X2 likewise  [3 matmuls]
-        X2rX2i = _mm(X2r, X2i, hi)
-        X4r = _mm(X2r, X2r, hi) - _mm(X2i, X2i, hi)
-        X4i = X2rX2i - X2rX2i.T
+        X2rX2i = [_mm(X2r[k], X2i[k], hi) for k in range(K)]
+        X4r = [
+            _mm(X2r[k], X2r[k], hi) - _mm(X2i[k], X2i[k], hi) for k in range(K)
+        ]
+        X4i = [X2rX2i[k] - X2rX2i[k].T for k in range(K)]
         # Y = a I + b X2 + c X4 (Hermitian, commutes with X)
-        Yr = a * eye + b * X2r + c * X4r
-        Yi = b * X2i + c * X4i
+        Yr = [a * eye + b * X2r[k] + c * X4r[k] for k in range(K)]
+        Yi = [b * X2i[k] + c * X4i[k] for k in range(K)]
         # X <- X @ Y, Karatsuba: 3 matmuls
-        t1 = _mm(Xr, Yr, hi)
-        t2 = _mm(Xi, Yi, hi)
-        t3 = _mm(Xr + Xi, Yr + Yi, hi)
-        Xr = t1 - t2
-        Xi = t3 - t1 - t2
+        t1 = [_mm(Xr[k], Yr[k], hi) for k in range(K)]
+        t2 = [_mm(Xi[k], Yi[k], hi) for k in range(K)]
+        t3 = [_mm(Xr[k] + Xi[k], Yr[k] + Yi[k], hi) for k in range(K)]
+        Xr = [t1[k] - t2[k] for k in range(K)]
+        Xi = [t3[k] - t1[k] - t2[k] for k in range(K)]
     # S = sign(M)/norm-domain; |M| = (S M + M S)/2 in original scale.
     # S commutes with M so S@M is Hermitian: compute once, symmetrize.
-    t1 = _mm(Xr, Mr, True)
-    t2 = _mm(Xi, Mi, True)
-    t3 = _mm(Xr + Xi, Mr + Mi, True)
-    Ar = t1 - t2
-    Ai = t3 - t1 - t2
-    Ar = 0.5 * (Ar + Ar.T)
-    Ai = 0.5 * (Ai - Ai.T)
-    # P = (M + |M|)/2, Hermitian-symmetrized
-    Pr = 0.5 * (Mr + Ar)
-    Pi = 0.5 * (Mi + Ai)
-    pr_ref[0] = 0.5 * (Pr + Pr.T)
-    pi_ref[0] = 0.5 * (Pi - Pi.T)
+    t1 = [_mm(Xr[k], Mr[k], True) for k in range(K)]
+    t2 = [_mm(Xi[k], Mi[k], True) for k in range(K)]
+    t3 = [_mm(Xr[k] + Xi[k], Mr[k] + Mi[k], True) for k in range(K)]
+    for k in range(K):
+        Ar = t1[k] - t2[k]
+        Ai = t3[k] - t1[k] - t2[k]
+        Ar = 0.5 * (Ar + Ar.T)
+        Ai = 0.5 * (Ai - Ai.T)
+        # P = (M + |M|)/2, Hermitian-symmetrized
+        Pr = 0.5 * (Mr[k] + Ar)
+        Pi = 0.5 * (Mi[k] + Ai)
+        pr_ref[k] = 0.5 * (Pr + Pr.T)
+        pi_ref[k] = 0.5 * (Pi - Pi.T)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "hi_steps"))
+@functools.partial(jax.jit, static_argnames=("interpret", "hi_steps", "kblk"))
 def psd_project_polar_pallas(
-    M: jnp.ndarray, interpret: bool = False, hi_steps: int = 7
+    M: jnp.ndarray, interpret: bool = False, hi_steps: int = 7, kblk: int = 4
 ) -> jnp.ndarray:
     """PSD projection of batched Hermitian complex64 (..., m, m), m <= 128.
 
@@ -105,25 +119,31 @@ def psd_project_polar_pallas(
     NOTE hi_steps < 7 (bf16 early steps) diverges: the large early schedule
     coefficients amplify one-pass-bf16 matmul noise out of the sign basin
     (measured rel err ~2e2); keep all steps at HIGHEST.
+    ``kblk``: independent matrices per grid program (MXU pipeline filling);
+    the batch is zero-padded up to a multiple (zero is a fixed point).
     """
     batch_shape = M.shape[:-2]
     m = M.shape[-1]
     M = M.reshape(-1, m, m)
-    B = M.shape[0]
+    B0 = M.shape[0]
+    kblk = min(kblk, max(1, B0))
+    B = (B0 + kblk - 1) // kblk * kblk
     Mr = jnp.real(M)
     Mi = jnp.imag(M)
-    if m < TILE:
-        pad = ((0, 0), (0, TILE - m), (0, TILE - m))
-        Mr = jnp.pad(Mr, pad)
-        Mi = jnp.pad(Mi, pad)
+    pad = ((0, B - B0), (0, TILE - m), (0, TILE - m))
+    Mr = jnp.pad(Mr, pad)
+    Mi = jnp.pad(Mi, pad)
 
     kernel = functools.partial(
-        _polar_kernel, schedule=POLAR_QUINTIC_SCHEDULE, hi_steps=hi_steps
+        _polar_kernel, schedule=POLAR_QUINTIC_SCHEDULE, hi_steps=hi_steps,
+        kblk=kblk,
     )
-    spec = pl.BlockSpec((1, TILE, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec(
+        (kblk, TILE, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     Pr, Pi = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // kblk,),
         in_specs=[spec, spec],
         out_specs=[spec, spec],
         out_shape=[
@@ -136,5 +156,5 @@ def psd_project_polar_pallas(
         ),
         interpret=interpret,
     )(Mr, Mi)
-    out = (Pr[:, :m, :m] + 1j * Pi[:, :m, :m]).astype(jnp.complex64)
+    out = (Pr[:B0, :m, :m] + 1j * Pi[:B0, :m, :m]).astype(jnp.complex64)
     return out.reshape(*batch_shape, m, m)
