@@ -36,6 +36,27 @@ def test_polar_matches_eigh_on_random_hermitian():
     assert err.max() < 2e-4, err.max()
 
 
+def test_polar_pallas_kblk_padding():
+    """K-blocked kernel (interpret mode): batch not a multiple of kblk, and
+    kblk larger than the batch, both pad with zero matrices exactly."""
+    import pytest
+
+    from admmnet_tpu.kernels.polar import psd_project_polar_pallas
+
+    rng = np.random.default_rng(7)
+    X = (rng.normal(size=(5, 33, 33)) + 1j * rng.normal(size=(5, 33, 33))).astype(
+        np.complex64
+    )
+    M = (X + np.conj(np.swapaxes(X, -1, -2))) / 2
+    Pe = np.asarray(psd_project_eigh(jnp.asarray(M)))
+    for kblk in (2, 4, 8):  # 5 % 2 != 0; kblk=8 > batch
+        Pp = np.asarray(
+            psd_project_polar_pallas(jnp.asarray(M), interpret=True, kblk=kblk)
+        )
+        err = np.linalg.norm(Pe - Pp, axis=(1, 2)) / np.linalg.norm(Pe, axis=(1, 2))
+        assert err.max() < 2e-4, (kblk, err.max())
+
+
 def test_polar_solver_mode_matches_eigh_mode():
     y, b, s = make_anchor_batch(2, mode="redemod", seed=5)
     phi_e = np.asarray(
