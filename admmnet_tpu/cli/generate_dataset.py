@@ -27,6 +27,9 @@ def build_parser():
     p.add_argument("--phi-iters", type=int, default=100)
     p.add_argument("--phi-g-update", default="polar",
                    help="PSD step for the labeller (polar|newton_schulz|eigh)")
+    p.add_argument("--stats-plot", action="store_true",
+                   help="write dataset_statistics.png (reference "
+                        "generate_data.py:302-349)")
     return p
 
 
@@ -51,6 +54,15 @@ def main(argv=None):
         phi_iters=args.phi_iters,
         phi_opts=ADMMOptions(g_update=args.phi_g_update),
     )
+    if args.stats_plot:
+        from pathlib import Path
+
+        from admmnet_tpu.utils.plotting import plot_dataset_statistics
+
+        p = plot_dataset_statistics(
+            gen.load_split("train"), str(Path(args.out) / "dataset_statistics.png")
+        )
+        print(f"stats figure: {p}")
     print(f"dataset written to {args.out}")
 
 

@@ -130,3 +130,37 @@ def plot_peaks(
     fig.savefig(out_path)
     plt.close(fig)
     return out_path
+
+
+def plot_dataset_statistics(data: Dict[str, np.ndarray], out_path: str):
+    """2x2 dataset stats figure (reference generate_data.py:302-349
+    ``visualize_dataset_stats``): target-count bar, tau / Doppler histograms,
+    symbol-error-rate histogram.  Takes a loaded split dict
+    (``DatasetGenerator.load_split``); returns the written path."""
+    matlab_style()
+    fig, axes = plt.subplots(2, 2, figsize=(12, 10))
+
+    L = np.asarray(data["L_true"]).astype(int)
+    uniq, counts = np.unique(L, return_counts=True)
+    axes[0, 0].bar(uniq, counts)
+    axes[0, 0].set_title("Target count distribution")
+    axes[0, 0].set_xlabel("targets L")
+    axes[0, 0].set_ylabel("count")
+
+    mask = np.arange(data["tau"].shape[-1])[None, :] < L[:, None]
+    axes[0, 1].hist(np.asarray(data["tau"])[mask], bins=50, alpha=0.7)
+    axes[0, 1].set_title("Delay distribution")
+    axes[0, 1].set_xlabel(r"$\tau$ (norm)")
+
+    axes[1, 0].hist(np.asarray(data["f"])[mask], bins=50, alpha=0.7)
+    axes[1, 0].set_title("Doppler distribution")
+    axes[1, 0].set_xlabel("f (norm)")
+
+    axes[1, 1].hist(np.asarray(data["ser"]) * 100.0, bins=20, alpha=0.7)
+    axes[1, 1].set_title("Symbol-error-rate distribution")
+    axes[1, 1].set_xlabel("SER (%)")
+
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return out_path

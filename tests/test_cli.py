@@ -25,8 +25,10 @@ def test_generate_then_train_then_infer(tmp_path, capsys):
 
     ds = tmp_path / "ds"
     gen_main(["--out", str(ds), "--total", "60", "--Nb", "10", "--Nd", "10",
-              "--with-phi", "--phi-iters", "3", "--fixed-snr", "20"])
+              "--with-phi", "--phi-iters", "3", "--fixed-snr", "20",
+              "--stats-plot"])
     capsys.readouterr()
+    assert (ds / "dataset_statistics.png").stat().st_size > 1000
 
     run = tmp_path / "run"
     train_main(["--data", str(ds), "--workdir", str(run), "--phi",
