@@ -53,3 +53,25 @@ def test_graft_entry_multichip_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_init_distributed_single_process_noop():
+    from admmnet_tpu.parallel import host_local_batch, init_distributed
+
+    info = init_distributed()
+    assert info.process_count == 1 and info.is_main
+    assert info.global_device_count == 8  # virtual CPU mesh (conftest)
+    start, count = host_local_batch(100, info)
+    assert (start, count) == (0, 100)
+
+
+def test_host_local_batch_partition():
+    from admmnet_tpu.parallel import DistributedInfo, host_local_batch
+
+    total = 0
+    for pid in range(3):
+        info = DistributedInfo(pid, 3, 4, 12)
+        start, count = host_local_batch(10, info)
+        assert start == total
+        total += count
+    assert total == 10
