@@ -16,6 +16,10 @@ def build_parser():
     p.add_argument("--batch-per-device", type=int, default=512)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--g-update", default="polar")
+    p.add_argument("--force-cpu", type=int, default=None, metavar="N",
+                   help="run on N virtual CPU devices (validates the sharded "
+                        "path and measures scaling shape without a pod; "
+                        "absolute numbers are not TPU numbers)")
     p.add_argument("--json", action="store_true")
     return p
 
@@ -23,6 +27,10 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
+
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.force_cpu)
 
     from admmnet_tpu.bench import scaling_report
     from admmnet_tpu.core.config import ADMMOptions

@@ -10,14 +10,14 @@ coordinator/num_processes/process_id explicitly or via env).  It is a no-op
 when the runtime is already initialized or when running single-process, so
 library code and CLIs can call it unconditionally.
 
-Typical multi-host run (one command per host):
+Typical multi-host run (one command per host, then call
+``init_distributed()`` before any jax use):
 
-    COORDINATOR=host0:9999 NPROC=4 PROC_ID=$i python -m admmnet_tpu.cli.\
-bench_time --what admm --distributed
+    COORDINATOR=host0:9999 NPROC=4 PROC_ID=$i python my_driver.py
 
 after which ``jax.devices()`` is the global device list, ``data_mesh()``
-spans all hosts, and per-host input feeding goes through
-``host_local_batch`` below.
+spans all hosts, ``sharded_solver`` shards the instance axis globally, and
+per-host input feeding goes through ``host_local_batch`` below.
 """
 
 from __future__ import annotations
