@@ -68,3 +68,17 @@ def test_polar_solver_mode_matches_eigh_mode():
                          ADMMOptions(g_update="polar"))
     )
     assert scale_invariant_nmse(phi_p, phi_e) < 1e-4
+
+
+def test_fit_polar_schedule_reproduces_committed_prefix():
+    """Greedy LP fitter: each step contracts the band, and the fitted
+    schedule's first steps match the committed POLAR_QUINTIC_SCHEDULE
+    (greedy => a shorter fit is a prefix of a longer one)."""
+    from admmnet_tpu.ops.fit_polar_schedule import composed_errors, fit_schedule
+
+    sched, _ = fit_schedule(3, l0=1e-3)
+    for got, want in zip(sched, POLAR_QUINTIC_SCHEDULE):
+        assert np.allclose(got, want, atol=2e-5), (got, want)
+    # 3-step band error is still large; the committed 7-step one is ~1e-6
+    band3, _ = composed_errors(sched, 1e-3)
+    assert band3 > 1e-2
