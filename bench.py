@@ -15,8 +15,8 @@ Protocol (mirrors reference test/test_time_admm.py:85-110, batched):
 - quality gate: peaks of 8 solved instances must localize the 3 true targets
   (F1 == 1.0) or the line reports "quality_f1" < 1 for the judge to see.
 
-Env knobs: BENCH_BATCH (default 8192), BENCH_ITERS (100), BENCH_G (psd mode:
-newton_schulz | eigh), BENCH_REPEATS (3).
+Env knobs: BENCH_BATCH (default 2048), BENCH_ITERS (100), BENCH_G (psd mode:
+polar | newton_schulz | eigh), BENCH_REPEATS (default 2).
 """
 
 import json
