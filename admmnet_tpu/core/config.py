@@ -148,6 +148,11 @@ class ModelConfig:
     # polynomial, not a measurement matrix (see SURVEY.md section 0.1); this
     # option is an extension, off by default.
     learned_sensing: bool = False
+    # GLayer spectral-filter evaluation: "eigh" (reference parity: eigh with
+    # detached eigenvectors) or "chebyshev" (matmul-only matrix function,
+    # no eigendecomposition -- see ops/chebyshev.py).
+    g_mode: str = "eigh"
+    cheb_degree: int = 48
 
 
 @dataclasses.dataclass(frozen=True)

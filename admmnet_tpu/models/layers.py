@@ -92,15 +92,27 @@ class HLayer(nn.Module):
 
 class GLayer(nn.Module):
     """Learned PSD step (reference admm_net.py:208-354): build the lifted
-    block matrix, Hermitian eigh with detached eigenvectors, learned
-    eigenvalue soft-threshold softplus(w - sigmoid(thr)) * value_net(|w|),
-    rebuild U diag(w') U^H."""
+    block matrix, apply a learned spectral filter
+    softplus(w - sigmoid(thr)) * value_net(|w|) to the spectrum, rebuild.
+
+    Two evaluation modes (same parameters, swappable per config):
+
+    - ``"eigh"`` (reference-parity default): Hermitian eigh with detached
+      eigenvectors (reference admm_net.py:306), filter on eigenvalues,
+      U diag(w') U^H rebuild;
+    - ``"chebyshev"`` (TPU-fast): the identical learned filter applied as a
+      matmul-only matrix function via ops.chebyshev.apply_spectral_filter
+      -- no eigendecomposition anywhere, fully differentiable (no detach
+      needed: polynomials have no eigenvector-derivative pathology).
+    """
 
     dim: int  # n = M*N; lifted side is n+1
     value_hidden: int = 16
     epsilon: float = 1e-8
     learnable_threshold: bool = True
     ref_stop_gradients: bool = True
+    mode: str = "eigh"  # "eigh" | "chebyshev"
+    cheb_degree: int = 48
 
     @nn.compact
     def __call__(self, phi, h, Z):
@@ -117,20 +129,31 @@ class GLayer(nn.Module):
         else:
             thr = 0.5  # sigmoid(0), matching the non-learnable default
 
+        value_hidden = nn.Dense(self.value_hidden, name="value_hidden")
+        value_out = nn.Dense(1, name="value_out")
+
+        def spectral_filter(w):
+            """softplus(w - thr) * sigmoid(MLP(|w|)), pointwise on (..., k)."""
+            base = _softplus(w - thr)
+            s = value_hidden(jnp.abs(w)[..., None])
+            s = nn.relu(s)
+            s = jax.nn.sigmoid(value_out(s))[..., 0]
+            return base * s
+
         B = assemble_lifted(h, phi, lam_inv)
         M = B - Z / (rho + self.epsilon)
+
+        if self.mode == "chebyshev":
+            from admmnet_tpu.ops.chebyshev import apply_spectral_filter
+
+            G = apply_spectral_filter(
+                hermitianize(M), spectral_filter, self.cheb_degree
+            )
+            return hermitianize(G)
+
         w, V = hermitian_eigh(M)
         V = jax.lax.stop_gradient(V)  # reference admm_net.py:306
-
-        base = _softplus(w - thr)
-        s = nn.Dense(self.value_hidden, name="value_hidden")(
-            jnp.abs(w)[..., None]
-        )
-        s = nn.relu(s)
-        s = nn.Dense(1, name="value_out")(s)
-        s = jax.nn.sigmoid(s)[..., 0]
-        w_new = (base * s).astype(COMPLEX)
-
+        w_new = spectral_filter(w).astype(COMPLEX)
         G = jnp.einsum("...ij,...j,...kj->...ik", V, w_new, jnp.conj(V),
                        precision=jax.lax.Precision.HIGHEST)
         return hermitianize(G)

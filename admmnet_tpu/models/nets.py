@@ -75,6 +75,8 @@ class _Trunk(nn.Module):
                 value_hidden=cfg.value_net_hidden,
                 epsilon=cfg.epsilon,
                 ref_stop_gradients=cfg.ref_stop_gradients,
+                mode=cfg.g_mode,
+                cheb_degree=cfg.cheb_degree,
                 name=f"g_{k}",
             )(phi, h, Z)
             Z = ZLayer(

@@ -184,3 +184,104 @@ def test_basic_anm_loss_reg_term():
     )
     want_reg = 1e-4 * np.mean(np.linalg.norm(phi, axis=-1))
     np.testing.assert_allclose(float(parts["reg_loss"]), want_reg, rtol=1e-5)
+
+
+def test_chebyshev_matrix_function_exact_on_smooth_filter():
+    """apply_spectral_filter matches the eigh route for a smooth filter."""
+    import jax.numpy as jnp
+
+    from admmnet_tpu.ops.chebyshev import apply_spectral_filter
+    from admmnet_tpu.ops.projections import hermitian_eigh
+
+    rng = np.random.default_rng(0)
+    X = (rng.normal(size=(3, 33, 33)) + 1j * rng.normal(size=(3, 33, 33))).astype(
+        np.complex64
+    )
+    M = jnp.asarray((X + np.conj(np.swapaxes(X, -1, -2))) / 2)
+
+    f = lambda w: jnp.tanh(w) + 0.1 * w**2
+    # Gaussian matrices are the worst case for the safe Frobenius spectral
+    # bound (true radius ~2 sqrt(n) vs ||M||_F ~ n), so the filter is sharp
+    # in the normalized domain: tanh needs degree ~ O(||M||_F / width).
+    out = np.asarray(apply_spectral_filter(M, f, degree=96))
+    w, V = hermitian_eigh(M)
+    ref = np.asarray(
+        jnp.einsum("...ij,...j,...kj->...ik", V, f(w).astype(M.dtype), jnp.conj(V))
+    )
+    err = np.linalg.norm(out - ref, axis=(1, 2)) / np.linalg.norm(ref, axis=(1, 2))
+    # float32 Clenshaw accumulation floors around ~1e-3 at this degree
+    assert err.max() < 2e-3, err.max()
+
+    # at the radius the lifted GLayer matrices actually have (O(1) spectra,
+    # froNorm tight-ish), a modest degree is already accurate
+    Ms = M / 20.0
+    out = np.asarray(apply_spectral_filter(Ms, f, degree=40))
+    w, V = hermitian_eigh(Ms)
+    ref = np.asarray(
+        jnp.einsum("...ij,...j,...kj->...ik", V, f(w).astype(Ms.dtype), jnp.conj(V))
+    )
+    err = np.linalg.norm(out - ref, axis=(1, 2)) / np.linalg.norm(ref, axis=(1, 2))
+    assert err.max() < 1e-4, err.max()
+
+
+def test_glayer_chebyshev_mode_close_to_eigh_at_init():
+    """Same params, both modes: the learned filter is piecewise-smooth, so
+    degree-64 Chebyshev tracks the eigh evaluation closely at init."""
+    import jax
+    import jax.numpy as jnp
+
+    from admmnet_tpu.models.layers import GLayer
+
+    n = 16
+    rng = np.random.default_rng(1)
+    phi = jnp.asarray(
+        (rng.normal(size=(4, n)) + 1j * rng.normal(size=(4, n))).astype(np.complex64)
+        * 0.1
+    )
+    h = jnp.asarray(np.abs(rng.normal(size=(4, n))).astype(np.float32) * 0.01)
+    Z = jnp.zeros((4, n + 1, n + 1), np.complex64)
+
+    ge = GLayer(dim=n, mode="eigh")
+    gc = GLayer(dim=n, mode="chebyshev", cheb_degree=64)
+    params = ge.init(jax.random.PRNGKey(0), phi, h, Z)
+    out_e = np.asarray(ge.apply(params, phi, h, Z))
+    out_c = np.asarray(gc.apply(params, phi, h, Z))
+    err = np.linalg.norm(out_c - out_e, axis=(1, 2)) / (
+        np.linalg.norm(out_e, axis=(1, 2)) + 1e-12
+    )
+    assert err.max() < 0.05, err.max()
+
+
+def test_phinet_chebyshev_mode_trains():
+    """g_mode=chebyshev: forward + grads are finite and nonzero through the
+    matmul-only spectral filter (no detached eigenvectors)."""
+    import jax
+    import jax.numpy as jnp
+
+    from admmnet_tpu.core.config import ModelConfig, ProblemSpec
+    from admmnet_tpu.models import PhiEstADMMNet
+
+    spec = ProblemSpec(Nb=4, Nd=4, L_max=2)
+    cfg = ModelConfig(spec=spec, num_layers=2, g_mode="chebyshev", cheb_degree=24)
+    model = PhiEstADMMNet(cfg=cfg)
+    rng = np.random.default_rng(2)
+    n = spec.n
+    y = jnp.asarray(
+        (rng.normal(size=(4, n)) + 1j * rng.normal(size=(4, n))).astype(np.complex64)
+    )
+    b = jnp.asarray(np.exp(1j * np.pi / 4 * rng.integers(0, 4, (4, n))).astype(
+        np.complex64))
+    sigma = jnp.asarray(np.full(4, 2.0, np.float32))
+    params = model.init(jax.random.PRNGKey(0), y, b, sigma)
+
+    def loss(p):
+        phi = model.apply(p, y, b, sigma)
+        return jnp.mean(jnp.abs(phi) ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert np.isfinite(float(val))
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # the GLayer filter params receive gradient (no detach in this mode)
+    gsum = sum(float(np.sum(np.abs(np.asarray(g)))) for g in leaves)
+    assert gsum > 0
