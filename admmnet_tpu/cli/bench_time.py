@@ -28,6 +28,8 @@ def build_parser():
     p.add_argument("--iters", type=int, default=100, help="ADMM iterations")
     p.add_argument("--layers", type=int, default=10, help="net depth")
     p.add_argument("--g-update", default="newton_schulz")
+    p.add_argument("--g-mode", default="eigh", choices=["eigh", "chebyshev"],
+                   help="net GLayer mode (--what net)")
     p.add_argument("--ckpt", default=None, help="net checkpoint (else fresh init)")
     p.add_argument("--sequential", action="store_true",
                    help="time one solve at a time (latency, not throughput)")
@@ -61,7 +63,8 @@ def main(argv=None):
         from admmnet_tpu.models import PhiEstADMMNet
         from admmnet_tpu.train.checkpoint import restore_checkpoint
 
-        mcfg = ModelConfig(spec=ProblemSpec(), num_layers=args.layers)
+        mcfg = ModelConfig(spec=ProblemSpec(), num_layers=args.layers,
+                           g_mode=args.g_mode)
         model = PhiEstADMMNet(cfg=mcfg)
         params = cjit(lambda k, y, b, s: model.init(k, y, b, s))(
             jax.random.PRNGKey(0), y[:1], b[:1], sigma[:1]

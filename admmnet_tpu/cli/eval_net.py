@@ -20,6 +20,7 @@ def build_parser():
     p.add_argument("--data", required=True, help="dataset dir with phi labels")
     p.add_argument("--ckpt", required=True)
     p.add_argument("--num-layers", type=int, default=10)
+    p.add_argument("--g-mode", default="eigh", choices=["eigh", "chebyshev"])
     p.add_argument("--limit", type=int, default=256, help="max test samples")
     p.add_argument("--tol", type=float, default=0.05, help="match tolerance")
     p.add_argument("--json", action="store_true")
@@ -50,7 +51,7 @@ def main(argv=None):
     n = min(args.limit, test["y"].shape[0])
     test = {k: v[:n] for k, v in test.items()}
 
-    mcfg = ModelConfig(spec=spec, num_layers=args.num_layers)
+    mcfg = ModelConfig(spec=spec, num_layers=args.num_layers, g_mode=args.g_mode)
     model = PhiEstADMMNet(cfg=mcfg)
     params = cjit(lambda k, y, b, s: model.init(k, y, b, s))(
         jax.random.PRNGKey(0), test["y"][:2], test["b"][:2], test["sigma"][:2]
