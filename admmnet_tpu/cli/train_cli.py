@@ -23,6 +23,8 @@ def build_parser():
     p.add_argument("--lr", type=float, default=None,
                    help="default 1e-3 (e2e) / 5e-3 (phi, reference trainPhi.py:31)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--assignment", default="slot", choices=["slot", "perm"],
+                   help="e2e loss target assignment (perm = set matching)")
     return p
 
 
@@ -46,7 +48,8 @@ def main(argv=None):
     mcfg = ModelConfig(spec=spec, num_layers=args.num_layers, g_mode=args.g_mode)
     lr = args.lr if args.lr is not None else (5e-3 if args.phi else 1e-3)
     tcfg = TrainConfig(
-        batch_size=args.batch_size, epochs=args.epochs, lr=lr, seed=args.seed
+        batch_size=args.batch_size, epochs=args.epochs, lr=lr, seed=args.seed,
+        assignment=args.assignment,
     )
     Path(args.workdir).mkdir(parents=True, exist_ok=True)
     (Path(args.workdir) / "config.json").write_text(

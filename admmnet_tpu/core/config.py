@@ -171,6 +171,9 @@ class TrainConfig:
     lr_min: float = 1e-6
     patience: int = 10  # early stop (train.py:133)
     conf_threshold: float = 0.5  # detection threshold for F1 (train.py:384)
+    # e2e loss target assignment: "slot" (reference parity) or "perm"
+    # (permutation-invariant set matching; see train/losses.py)
+    assignment: str = "slot"
     seed: int = 0
 
 

@@ -39,6 +39,52 @@ def basic_parameter_loss(
     return jnp.mean(per_sample)
 
 
+def permutation_matched_parameter_loss(
+    tau_pred, f_pred, confidences, tau_true, f_true, L_true
+) -> jnp.ndarray:
+    """Permutation-invariant variant of ``basic_parameter_loss``.
+
+    The reference's per-slot loss pairs prediction slot i with target i, but
+    targets are generated in RANDOM order (reference generate_data.py:138-139
+    never sorts) -- under that loss the best slot-i predictor is the marginal
+    mean, so the peak head mean-collapses (tau -> 0.5, f -> 0) by
+    construction.  This variant takes the min over all L_max! assignments of
+    prediction slots to targets (exact set matching; L_max = 3 -> 6
+    permutations, fully vectorized), which makes the e2e head learnable.
+    Opt-in extension; the reference behavior stays the default.
+    """
+    B, L_max = tau_pred.shape
+    L_true = L_true.astype(jnp.int32)
+    mask = (jnp.arange(L_max)[None, :] < L_true[:, None]).astype(tau_pred.dtype)
+    cnt = jnp.maximum(L_true.astype(tau_pred.dtype), 1.0)
+
+    import itertools
+
+    perms = jnp.asarray(
+        list(itertools.permutations(range(L_max))), dtype=jnp.int32
+    )  # (P, L_max): prediction slot used for target position j
+
+    # (P, B, L_max) costs per permutation; mask selects real target slots
+    tau_p = tau_pred[:, perms]  # (B, P, L_max)
+    f_p = f_pred[:, perms]
+    conf_p = confidences[:, perms]
+    tau_mse = jnp.sum(
+        mask[:, None, :] * (tau_p - tau_true[:, None, :]) ** 2, axis=-1
+    ) / cnt[:, None]
+    f_mse = jnp.sum(
+        mask[:, None, :] * (f_p - f_true[:, None, :]) ** 2, axis=-1
+    ) / cnt[:, None]
+    conf_mse = jnp.sum(
+        mask[:, None, :] * (conf_p - 1.0) ** 2, axis=-1
+    ) / cnt[:, None]
+    per_perm = tau_mse + f_mse + 0.1 * conf_mse  # (B, P)
+    with_targets = jnp.min(per_perm, axis=-1)
+
+    no_targets = jnp.sum(confidences**2, axis=-1)
+    per_sample = jnp.where(L_true > 0, with_targets, no_targets)
+    return jnp.mean(per_sample)
+
+
 def basic_anm_loss(
     tau_pred,
     f_pred,
@@ -48,9 +94,20 @@ def basic_anm_loss(
     f_true,
     L_true,
     lambda_reg: float = 1e-4,
+    assignment: str = "slot",
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Parameter loss + lambda_reg * mean ||phi|| (reference loss.py:33-60)."""
-    param = basic_parameter_loss(
+    """Parameter loss + lambda_reg * mean ||phi|| (reference loss.py:33-60).
+
+    ``assignment``: "slot" (reference parity: slot i pairs with target i) or
+    "perm" (permutation-invariant set matching, see
+    ``permutation_matched_parameter_loss``).
+    """
+    param_fn = (
+        permutation_matched_parameter_loss
+        if assignment == "perm"
+        else basic_parameter_loss
+    )
+    param = param_fn(
         tau_pred, f_pred, confidences, tau_true, f_true, L_true
     )
     reg = lambda_reg * jnp.mean(

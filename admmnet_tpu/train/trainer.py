@@ -132,7 +132,7 @@ def train_phinet(
     )
 
 
-def build_steps(model, tx, mode: str):
+def build_steps(model, tx, mode: str, assignment: str = "slot"):
     """Build (train_step, eval_step) pure functions for ``model``.
 
     ``mode``: "e2e" (ADMMNet + BasicANMLoss) or "phi" (PhiEstADMMNet +
@@ -150,7 +150,8 @@ def build_steps(model, tx, mode: str):
                 rngs=None if deterministic else {"dropout": dropout_key},
             )
             total, parts = basic_anm_loss(
-                tau, f, conf, phi, batch["tau"], batch["f"], batch["L_true"]
+                tau, f, conf, phi, batch["tau"], batch["f"], batch["L_true"],
+                assignment=assignment,
             )
             aux = {"tau": tau, "f": f, "conf": conf}
         else:
@@ -209,7 +210,9 @@ def _train_loop(
     )
     opt_state = tx.init(params)
 
-    train_step, eval_step = build_steps(model, tx, mode)
+    train_step, eval_step = build_steps(
+        model, tx, mode, assignment=getattr(tcfg, "assignment", "slot")
+    )
     train_step_j = device_retry(cjit(train_step), log_fn=log_fn)
     eval_step_j = device_retry(cjit(eval_step), log_fn=log_fn)
 

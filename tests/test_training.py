@@ -101,3 +101,51 @@ def test_dataset_generator_roundtrip(tmp_path):
     assert val["y"].shape[0] == 6
     batches = list(iterate_batches(loaded, 10, shuffle=True, seed=0))
     assert sum(b["y"].shape[0] for b in batches) == 28
+
+
+def test_permutation_matched_loss_invariance():
+    """perm assignment: loss is invariant to target order and upper-bounded
+    by the slot loss; slot loss changes when targets are permuted."""
+    import jax.numpy as jnp
+
+    from admmnet_tpu.train.losses import (
+        basic_parameter_loss,
+        permutation_matched_parameter_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    B, L = 8, 3
+    tau_p = jnp.asarray(rng.uniform(0.1, 0.9, (B, L)).astype(np.float32))
+    f_p = jnp.asarray(rng.uniform(-0.4, 0.4, (B, L)).astype(np.float32))
+    conf = jnp.asarray(rng.uniform(0.5, 1.0, (B, L)).astype(np.float32))
+    tau_t = jnp.asarray(rng.uniform(0.1, 0.9, (B, L)).astype(np.float32))
+    f_t = jnp.asarray(rng.uniform(-0.4, 0.4, (B, L)).astype(np.float32))
+    L_true = jnp.asarray(np.full(B, 3, np.int32))
+
+    perm = np.array([2, 0, 1])
+    args = (tau_p, f_p, conf)
+    base = float(permutation_matched_parameter_loss(*args, tau_t, f_t, L_true))
+    shuf = float(
+        permutation_matched_parameter_loss(
+            *args, tau_t[:, perm], f_t[:, perm], L_true
+        )
+    )
+    assert abs(base - shuf) < 1e-6
+
+    slot = float(basic_parameter_loss(*args, tau_t, f_t, L_true))
+    slot_shuf = float(
+        basic_parameter_loss(*args, tau_t[:, perm], f_t[:, perm], L_true)
+    )
+    assert base <= slot + 1e-7 and base <= slot_shuf + 1e-7
+    assert abs(slot - slot_shuf) > 1e-4  # slot loss is order-sensitive
+
+    # when predictions equal (a permutation of) the targets, perm loss hits
+    # the conf-only floor exactly
+    floor = float(
+        permutation_matched_parameter_loss(
+            tau_t[:, perm], f_t[:, perm], conf, tau_t, f_t, L_true
+        )
+    )
+    conf_only = float(np.mean(np.sum(0.1 * (np.asarray(conf)[:, perm] - 1) ** 2,
+                                     axis=-1) / 3))
+    assert abs(floor - conf_only) < 1e-6
