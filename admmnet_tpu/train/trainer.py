@@ -98,6 +98,38 @@ def _masked_rmse(pred, true, L_true):
     return float(np.mean(rmse[sel])) if np.any(sel) else 0.0
 
 
+def _matched_rmse_pair(tau_pred, f_pred, tau_true, f_true, L_true):
+    """(tau_rmse, f_rmse) under the per-sample best slot->target assignment.
+
+    Metric counterpart of ``permutation_matched_parameter_loss``: when the
+    model is trained with set matching (``assignment="perm"``), slot-paired
+    RMSE (the reference's train.py:262-282 convention) mispairs and inflates
+    the error, so eval must score under the same matching as the loss.  The
+    permutation is chosen to minimize the combined masked tau+f MSE (the
+    loss's criterion), then both RMSEs are reported under it.
+    """
+    import itertools
+
+    B, L_max = tau_pred.shape
+    perms = np.array(list(itertools.permutations(range(L_max))))  # (P, L_max)
+    mask = (np.arange(L_max)[None, :] < L_true[:, None]).astype(tau_pred.dtype)
+    cnt = np.maximum(L_true, 1).astype(tau_pred.dtype)
+    tau_p = tau_pred[:, perms]  # (B, P, L_max)
+    f_p = f_pred[:, perms]
+    tau_mse = np.sum(mask[:, None, :] * (tau_p - tau_true[:, None, :]) ** 2,
+                     axis=-1) / cnt[:, None]
+    f_mse = np.sum(mask[:, None, :] * (f_p - f_true[:, None, :]) ** 2,
+                   axis=-1) / cnt[:, None]
+    best = np.argmin(tau_mse + f_mse, axis=-1)  # (B,)
+    rows = np.arange(B)
+    sel = L_true > 0
+    if not np.any(sel):
+        return 0.0, 0.0
+    tau_rmse = np.sqrt(tau_mse[rows, best])[sel]
+    f_rmse = np.sqrt(f_mse[rows, best])[sel]
+    return float(np.mean(tau_rmse)), float(np.mean(f_rmse))
+
+
 def train_admmnet(
     mcfg: ModelConfig,
     tcfg: TrainConfig,
@@ -210,9 +242,18 @@ def _train_loop(
     )
     opt_state = tx.init(params)
 
-    train_step, eval_step = build_steps(
-        model, tx, mode, assignment=getattr(tcfg, "assignment", "slot")
-    )
+    assignment = getattr(tcfg, "assignment", "slot")
+    train_step, eval_step = build_steps(model, tx, mode, assignment=assignment)
+
+    def batch_rmses(aux, batch):
+        if assignment == "perm":
+            return _matched_rmse_pair(
+                aux["tau"], aux["f"], batch["tau"], batch["f"], batch["L_true"]
+            )
+        return (
+            _masked_rmse(aux["tau"], batch["tau"], batch["L_true"]),
+            _masked_rmse(aux["f"], batch["f"], batch["L_true"]),
+        )
     train_step_j = device_retry(cjit(train_step), log_fn=log_fn)
     eval_step_j = device_retry(cjit(eval_step), log_fn=log_fn)
 
@@ -256,8 +297,9 @@ def _train_loop(
             va_losses.append(float(total))
             if mode == "e2e":
                 aux = to_host(aux)
-                tau_es.append(_masked_rmse(aux["tau"], batch["tau"], batch["L_true"]))
-                f_es.append(_masked_rmse(aux["f"], batch["f"], batch["L_true"]))
+                t_rm, f_rm = batch_rmses(aux, batch)
+                tau_es.append(t_rm)
+                f_es.append(f_rm)
         va_loss = float(np.mean(va_losses)) if va_losses else 0.0
 
         history["train_loss"].append(tr_loss)
@@ -307,8 +349,9 @@ def _train_loop(
             te_losses.append(float(total))
             if mode == "e2e":
                 aux = to_host(aux)
-                tau_es.append(_masked_rmse(aux["tau"], batch["tau"], batch["L_true"]))
-                f_es.append(_masked_rmse(aux["f"], batch["f"], batch["L_true"]))
+                t_rm, f_rm = batch_rmses(aux, batch)
+                tau_es.append(t_rm)
+                f_es.append(f_rm)
                 a, b_, c = _detection_counts(
                     aux["conf"], batch["L_true"], tcfg.conf_threshold
                 )

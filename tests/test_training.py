@@ -149,3 +149,48 @@ def test_permutation_matched_loss_invariance():
     conf_only = float(np.mean(np.sum(0.1 * (np.asarray(conf)[:, perm] - 1) ** 2,
                                      axis=-1) / 3))
     assert abs(floor - conf_only) < 1e-6
+
+
+def test_matched_rmse_pair_scores_under_best_assignment():
+    """eval metric counterpart of the perm loss: zero when predictions are a
+    permutation of the targets, equal to slot RMSE when already aligned, and
+    invariant to target order."""
+    from admmnet_tpu.train.trainer import _masked_rmse, _matched_rmse_pair
+
+    rng = np.random.default_rng(1)
+    B, L = 16, 3
+    tau_t = rng.uniform(0.1, 0.9, (B, L)).astype(np.float32)
+    f_t = rng.uniform(-0.4, 0.4, (B, L)).astype(np.float32)
+    L_true = rng.integers(1, L + 1, B).astype(np.int32)
+
+    # predictions = permuted targets -> matched RMSE must be ~0 even though
+    # slot RMSE is large
+    perm = np.array([2, 0, 1])
+    t_rm, f_rm = _matched_rmse_pair(tau_t[:, perm], f_t[:, perm], tau_t, f_t, L_true)
+    assert t_rm < 1e-6 and f_rm < 1e-6
+    assert _masked_rmse(tau_t[:, perm], tau_t, L_true) > 1e-2
+
+    # aligned noisy predictions: matched == slot pairing is the best pairing
+    # only sample-by-sample; matched is never worse on the combined criterion
+    tau_p = tau_t + rng.normal(0, 1e-3, (B, L)).astype(np.float32)
+    f_p = f_t + rng.normal(0, 1e-3, (B, L)).astype(np.float32)
+    t_rm2, f_rm2 = _matched_rmse_pair(tau_p, f_p, tau_t, f_t, L_true)
+    assert abs(t_rm2 - _masked_rmse(tau_p, tau_t, L_true)) < 1e-6
+    assert abs(f_rm2 - _masked_rmse(f_p, f_t, L_true)) < 1e-6
+
+    # invariance to target column order
+    t_rm3, f_rm3 = _matched_rmse_pair(
+        tau_p, f_p, tau_t[:, perm], f_t[:, perm],
+        L_true * 0 + 3,  # full masks so permuting targets is lossless
+    )
+    t_rm4, f_rm4 = _matched_rmse_pair(tau_p, f_p, tau_t, f_t, L_true * 0 + 3)
+    assert abs(t_rm3 - t_rm4) < 1e-6 and abs(f_rm3 - f_rm4) < 1e-6
+
+
+def test_matched_rmse_pair_empty_scenes():
+    from admmnet_tpu.train.trainer import _matched_rmse_pair
+
+    B, L = 4, 3
+    z = np.zeros((B, L), np.float32)
+    t_rm, f_rm = _matched_rmse_pair(z, z, z, z, np.zeros(B, np.int32))
+    assert t_rm == 0.0 and f_rm == 0.0
