@@ -73,13 +73,17 @@ class ADMMOptions:
     use_min_iter: bool = True
     min_iter: int = 5
     phi_update: str = "diag"  # "diag" | "ref_dense"
-    g_update: str = "eigh"  # "eigh" | "polar" | "newton_schulz" | "ref_identity"
+    g_update: str = "eigh"  # "eigh" | "polar" | "polar_fast" | "newton_schulz" | "ref_identity"
     newton_schulz_iters: int = 24
+    # polar_fast only: 0 = all-bf16 schedule (fastest), 1 = append the
+    # HIGHEST polish step (tighter eigenvalue band per projection)
+    polar_fast_hi_steps: int = 0
 
     def __post_init__(self):
         if self.phi_update not in ("diag", "ref_dense"):
             raise ValueError(f"unknown phi_update {self.phi_update!r}")
-        if self.g_update not in ("eigh", "polar", "newton_schulz", "ref_identity"):
+        if self.g_update not in ("eigh", "polar", "polar_fast",
+                                 "newton_schulz", "ref_identity"):
             raise ValueError(f"unknown g_update {self.g_update!r}")
 
 

@@ -27,7 +27,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from admmnet_tpu.ops.projections import POLAR_QUINTIC_SCHEDULE
+from admmnet_tpu.ops.projections import (
+    POLAR_BF16_POLISH,
+    POLAR_BF16_SCHEDULE,
+    POLAR_QUINTIC_SCHEDULE,
+)
 
 TILE = 128
 
@@ -92,6 +96,15 @@ def _polar_kernel(mr_ref, mi_ref, pr_ref, pi_ref, *, schedule, hi_steps, kblk):
         t3 = [_mm(Xr[k] + Xi[k], Yr[k] + Yi[k], hi) for k in range(K)]
         Xr = [t1[k] - t2[k] for k in range(K)]
         Xi = [t3[k] - t1[k] - t2[k] for k in range(K)]
+        if not hi:
+            # One-pass-bf16 noise breaks Hermitian symmetry; left unchecked
+            # the iterate drifts non-normal and the polynomial recursion has
+            # unbounded transient growth (measured: NaN within ~8 steps).
+            # Re-projecting onto the Hermitian subspace each low-precision
+            # step keeps the spectral box argument valid.  Costs transposes
+            # and adds, no extra matmuls.
+            Xr = [0.5 * (Xr[k] + Xr[k].T) for k in range(K)]
+            Xi = [0.5 * (Xi[k] - Xi[k].T) for k in range(K)]
     # S = sign(M)/norm-domain; |M| = (S M + M S)/2 in original scale.
     # S commutes with M so S@M is Hermitian: compute once, symmetrize.
     t1 = [_mm(Xr[k], Mr[k], True) for k in range(K)]
@@ -109,19 +122,41 @@ def _polar_kernel(mr_ref, mi_ref, pr_ref, pi_ref, *, schedule, hi_steps, kblk):
         pi_ref[k] = 0.5 * (Pi - Pi.T)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "hi_steps", "kblk"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "hi_steps", "kblk", "mode")
+)
 def psd_project_polar_pallas(
-    M: jnp.ndarray, interpret: bool = False, hi_steps: int = 7, kblk: int = 4
+    M: jnp.ndarray, interpret: bool = False, hi_steps: int | None = None,
+    kblk: int = 4, mode: str = "accurate",
 ) -> jnp.ndarray:
     """PSD projection of batched Hermitian complex64 (..., m, m), m <= 128.
 
     Drop-in replacement for ops.projections.psd_project_polar on TPU.
-    NOTE hi_steps < 7 (bf16 early steps) diverges: the large early schedule
-    coefficients amplify one-pass-bf16 matmul noise out of the sign basin
-    (measured rel err ~2e2); keep all steps at HIGHEST.
+
+    ``mode="accurate"``: the 7-step minimax schedule, all steps HIGHEST
+    (6-pass f32-equivalent matmuls).  NOTE running THIS schedule with
+    hi_steps < 7 diverges: its polynomials explode outside the fitted band,
+    amplifying one-pass-bf16 noise out of the sign basin (measured rel err
+    ~2e2).
+    ``mode="fast"``: POLAR_BF16_SCHEDULE -- box-constrained two-phase fit
+    that is bf16-stable: all 6 steps run at one-pass Mosaic DEFAULT with
+    per-step Hermitian re-projection (the final |M| products stay HIGHEST).
+    5.5x fewer MXU passes; |M| relative error ~3.1e-3 (eigenvalues under
+    ~3e-3*||M||_F are written off at the noise floor).  ``hi_steps=1``
+    appends the POLAR_BF16_POLISH step at HIGHEST (~2.7e-3, 3.1x).  See
+    ops/fit_polar_schedule.fit_bf16_schedule for the derivation.
+
     ``kblk``: independent matrices per grid program (MXU pipeline filling);
     the batch is zero-padded up to a multiple (zero is a fixed point).
     """
+    if mode == "fast":
+        hi_steps = 0 if hi_steps is None else hi_steps
+        schedule = POLAR_BF16_SCHEDULE + (
+            (POLAR_BF16_POLISH,) if hi_steps >= 1 else ()
+        )
+    else:
+        schedule = POLAR_QUINTIC_SCHEDULE
+        hi_steps = len(schedule) if hi_steps is None else hi_steps
     batch_shape = M.shape[:-2]
     m = M.shape[-1]
     M = M.reshape(-1, m, m)
@@ -135,8 +170,7 @@ def psd_project_polar_pallas(
     Mi = jnp.pad(Mi, pad)
 
     kernel = functools.partial(
-        _polar_kernel, schedule=POLAR_QUINTIC_SCHEDULE, hi_steps=hi_steps,
-        kblk=kblk,
+        _polar_kernel, schedule=schedule, hi_steps=hi_steps, kblk=kblk,
     )
     spec = pl.BlockSpec(
         (kblk, TILE, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -151,7 +185,8 @@ def psd_project_polar_pallas(
             jax.ShapeDtypeStruct((B, TILE, TILE), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=B * 66 * 2 * TILE**3, bytes_accessed=B * 4 * TILE * TILE * 4,
+            flops=B * (9 * len(schedule) + 3) * 2 * TILE**3,
+            bytes_accessed=B * 4 * TILE * TILE * 4,
             transcendentals=0,
         ),
         interpret=interpret,

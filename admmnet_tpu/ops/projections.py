@@ -186,6 +186,30 @@ POLAR_QUINTIC_SCHEDULE = (
     (1.874984, -1.249968, 0.374983),
 )
 
+# bf16-safe two-phase schedule (fit_polar_schedule.fit_bf16_schedule): steps
+# 1-4 maximize guaranteed growth of the smallest eigenvalue inside the box
+# 0 <= g <= ~1.01 on [0, 1.02u] (no overshoot anywhere -> one-pass-bf16
+# noise cannot escape), steps 5-6 are box-constrained minimax polish.
+# Exact arithmetic: |p-1| < 1e-5 on [3e-3, 1], p([0,1]) subset [0, ~1].
+# Under simulated one-pass bf16 with per-step Hermitian projection:
+# |M| relative error <= 3.1e-3 -- the noise-floor write-off of eigenvalues
+# below ~3e-3 * ||M||_F, NOT the band width, so the optional HIGHEST polish
+# step (POLAR_BF16_POLISH, hi_steps=1) only improves it to ~2.7e-3 while
+# costing 45 extra MXU passes.  All-bf16: 72 passes per projection vs the
+# all-HIGHEST 7-step schedule's 396 -> 5.5x less MXU work.
+POLAR_BF16_SCHEDULE = (
+    (4.203834, -11.937382, 8.504934),
+    (4.101730, -11.104443, 7.628472),
+    (3.953683, -10.006929, 6.734898),
+    (3.400460, -6.548496, 3.994283),
+    (2.316193, -2.250782, 0.931482),
+    (1.858068, -1.215865, 0.357804),
+)
+
+# Optional HIGHEST-precision polish step fitted to the post-noise band
+# [1 - 1.5*noise, 1 + 1.5*noise]; append when hi_steps=1 is requested.
+POLAR_BF16_POLISH = (1.866601, -1.233157, 0.366556)
+
 
 def _matrix_abs_polar(M: jnp.ndarray, schedule=POLAR_QUINTIC_SCHEDULE) -> jnp.ndarray:
     """|M| for Hermitian M via the fitted quintic sign schedule."""

@@ -103,13 +103,26 @@ def _phi_update_ref_dense(y, b, g, zeta, rho):
 def _g_step(M, opts: ADMMOptions):
     if opts.g_update == "eigh":
         return psd_project_eigh(M)
-    if opts.g_update == "polar":
+    if opts.g_update in ("polar", "polar_fast"):
         # On TPU the fused Pallas kernel is ~3.3x the XLA path (VMEM-resident
         # schedule, Hermitian-structure matmul savings); elsewhere use XLA.
+        # "polar_fast" additionally runs all but the last schedule step at
+        # one-pass bf16 (box-constrained POLAR_BF16_SCHEDULE; ~2.6e-3 |M|
+        # error vs ~1e-4) -- only meaningful on the real MXU, so the XLA
+        # fallback just evaluates its schedule at full precision.
+        fast = opts.g_update == "polar_fast"
         if jax.default_backend() == "tpu" and M.shape[-1] <= 128:
             from admmnet_tpu.kernels.polar import psd_project_polar_pallas
 
+            if fast:
+                return psd_project_polar_pallas(
+                    M, mode="fast", hi_steps=opts.polar_fast_hi_steps
+                )
             return psd_project_polar_pallas(M)
+        if fast:
+            from admmnet_tpu.ops.projections import POLAR_BF16_SCHEDULE
+
+            return psd_project_polar(M, schedule=POLAR_BF16_SCHEDULE)
         return psd_project_polar(M)
     if opts.g_update == "newton_schulz":
         return psd_project_newton_schulz(M, opts.newton_schulz_iters)

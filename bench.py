@@ -13,10 +13,19 @@ Protocol (mirrors reference test/test_time_admm.py:85-110, batched):
 - baseline = 190 iterations/s: the reference's implied classical throughput
   (BASELINE.md; mean 0.5244 s per <=100-iteration solve).
 - quality gate: peaks of 8 solved instances must localize the 3 true targets
-  (F1 == 1.0) or the line reports "quality_f1" < 1 for the judge to see.
+  (F1 == 1.0) or the line reports "quality_f1" < 1 for the judge to see; for
+  approximate PSD modes the line also reports phi NMSE vs the exact-eigh
+  solve on the same instances.
+
+Default PSD mode is polar_fast (bf16 box-constrained sign schedule,
+kernels/polar.py): detection metrics match the exact solve (F1 1.0,
+tau/f RMSE well under the 0.05 match tolerance) at 1.8x the all-HIGHEST
+polar throughput; its phi differs from the eigh solve by ~1e-1 NMSE (the
+reported field).  BENCH_G=polar gives the NMSE-exact (1.5e-6) mode.
 
 Env knobs: BENCH_BATCH (default 2048), BENCH_ITERS (100), BENCH_G (psd mode:
-polar | newton_schulz | eigh), BENCH_REPEATS (default 2).
+polar_fast | polar | newton_schulz | eigh), BENCH_FAST_HI (0|1: append the
+HIGHEST polish step in polar_fast), BENCH_REPEATS (default 2).
 """
 
 import json
@@ -38,9 +47,10 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", 2048))
     ITERS = int(os.environ.get("BENCH_ITERS", 100))
-    G_MODE = os.environ.get("BENCH_G", "polar")
+    G_MODE = os.environ.get("BENCH_G", "polar_fast")
     REPEATS = int(os.environ.get("BENCH_REPEATS", 2))
-    opts = ADMMOptions(g_update=G_MODE)
+    FAST_HI = int(os.environ.get("BENCH_FAST_HI", 0))
+    opts = ADMMOptions(g_update=G_MODE, polar_fast_hi_steps=FAST_HI)
 
     y, b, sigma = make_anchor_batch(B, mode="redemod", seed=0)
 
@@ -81,6 +91,22 @@ def main():
         tol_f=0.05,
     )
 
+    # accuracy vs the exact-eigh solve on the same slice (scale-invariant
+    # phi NMSE) -- quantifies approximate PSD modes (polar / polar_fast /
+    # newton_schulz) on real hardware; ~0 for eigh itself.
+    nmse_vs_eigh = None
+    if G_MODE != "eigh":
+        from admmnet_tpu.peaks import scale_invariant_nmse
+
+        phi_pair = cjit(
+            lambda y, b, s: (
+                admm_solve_fixed(y, b, s, ITERS, 1.0, opts),
+                admm_solve_fixed(y, b, s, ITERS, 1.0, ADMMOptions(g_update="eigh")),
+            )
+        )
+        phi_g, phi_e = to_host(phi_pair(y[:qB], b[:qB], sigma[:qB]))
+        nmse_vs_eigh = float(scale_invariant_nmse(phi_g, phi_e))
+
     print(
         json.dumps(
             {
@@ -96,6 +122,9 @@ def main():
                 "quality_f1": round(stats["f1"], 4),
                 "tau_rmse": round(stats["tau_rmse"], 5),
                 "f_rmse": round(stats["f_rmse"], 5),
+                "phi_nmse_vs_eigh": (
+                    None if nmse_vs_eigh is None else float(f"{nmse_vs_eigh:.3e}")
+                ),
                 "device": str(jax.devices()[0]),
             }
         )
