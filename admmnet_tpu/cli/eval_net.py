@@ -23,12 +23,72 @@ def build_parser():
     p.add_argument("--g-mode", default="eigh", choices=["eigh", "chebyshev"])
     p.add_argument("--limit", type=int, default=256, help="max test samples")
     p.add_argument("--tol", type=float, default=0.05, help="match tolerance")
+    p.add_argument("--e2e", action="store_true",
+                   help="checkpoint is a full ADMMNet (peak head): score its "
+                        "direct (tau, f, conf) predictions with "
+                        "position-matched F1 instead of phi peak search")
+    p.add_argument("--conf-threshold", type=float, default=0.5)
     p.add_argument("--json", action="store_true")
     return p
 
 
+def _eval_e2e(args):
+    """Position-matched detection metrics for an end-to-end ADMMNet."""
+    import jax
+
+    from admmnet_tpu.core.config import ModelConfig, ProblemSpec
+    from admmnet_tpu.data.generator import DatasetGenerator
+    from admmnet_tpu.models import ADMMNet
+    from admmnet_tpu.peaks import match_peaks
+    from admmnet_tpu.train.checkpoint import restore_checkpoint
+    from admmnet_tpu.utils.host import cjit, to_host
+    from pathlib import Path
+
+    gen = DatasetGenerator(data_dir=args.data)
+    info = json.loads((Path(args.data) / "dataset_config.json").read_text())
+    spec = ProblemSpec(Nb=info["Nb"], Nd=info["Nd"], L_max=info["L_max"])
+    test = gen.load_split("test")
+    n = min(args.limit, test["y"].shape[0])
+    test = {k: v[:n] for k, v in test.items()}
+
+    mcfg = ModelConfig(spec=spec, num_layers=args.num_layers, g_mode=args.g_mode)
+    model = ADMMNet(cfg=mcfg)
+    params = cjit(lambda k, y, b, s: model.init(k, y, b, s))(
+        jax.random.PRNGKey(0), test["y"][:2], test["b"][:2], test["sigma"][:2]
+    )
+    restored = restore_checkpoint(args.ckpt, {"params": params, "opt_state": None})
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {args.ckpt}")
+    params = restored[0]["params"]
+
+    def run(p, y, b, s):
+        tau, f, conf, _phi = model.apply(p, y, b, s)
+        return tau, f, conf
+
+    tau, f, conf = to_host(
+        cjit(run)(params, test["y"], test["b"], test["sigma"])
+    )
+    order = np.argsort(-conf, axis=-1)  # confidence-desc, as find_peaks sorts
+    rows = np.arange(n)[:, None]
+    tau, f, conf = tau[rows, order], f[rows, order], conf[rows, order]
+    stats = match_peaks(
+        tau, f, test["tau"], test["f"], args.tol, args.tol,
+        pred_valid=conf > args.conf_threshold,
+    )
+    out = {
+        "samples": n,
+        "mode": "e2e",
+        "conf_threshold": args.conf_threshold,
+        "detection": {k: stats[k] for k in
+                      ("f1", "precision", "recall", "tau_rmse", "f_rmse")},
+    }
+    print(json.dumps(out) if args.json else json.dumps(out, indent=2))
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.e2e:
+        return _eval_e2e(args)
 
     import jax
 

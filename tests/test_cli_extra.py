@@ -60,3 +60,26 @@ def test_peaks_from_mat_cli(tmp_path, capsys):
     main([str(f)])
     out = capsys.readouterr().out
     assert "[0.33" in out and "-0.21" in out
+
+
+def test_eval_net_cli_e2e_mode(tmp_path, capsys):
+    """--e2e: score an ADMMNet checkpoint's direct predictions with
+    position-matched F1 (no phi labels needed)."""
+    from admmnet_tpu.cli.generate_dataset import main as gen_main
+    from admmnet_tpu.cli.train_cli import main as train_main
+    from admmnet_tpu.cli.eval_net import main as eval_main
+
+    ds = tmp_path / "ds"
+    gen_main(["--out", str(ds), "--total", "48", "--fixed-snr", "20"])
+    run = tmp_path / "run"
+    train_main(["--data", str(ds), "--workdir", str(run),
+                "--num-layers", "2", "--epochs", "1", "--batch-size", "16",
+                "--assignment", "perm"])
+    capsys.readouterr()
+    eval_main(["--data", str(ds), "--ckpt", str(run), "--num-layers", "2",
+               "--e2e", "--json"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "e2e"
+    d = out["detection"]
+    assert 0.0 <= d["f1"] <= 1.0
+    assert d["precision"] >= 0.0 and d["recall"] >= 0.0
