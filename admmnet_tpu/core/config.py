@@ -78,6 +78,13 @@ class ADMMOptions:
     # polar_fast only: 0 = all-bf16 schedule (fastest), 1 = append the
     # HIGHEST polish step (tighter eigenvalue band per projection)
     polar_fast_hi_steps: int = 0
+    # polar_fast only: store the sign iterate in bf16 between schedule steps.
+    # Measured negative result (RESULTS.md 3.5): the isolated projection
+    # looks faster under a noisy microbench, but the full solve is ~3%
+    # SLOWER (110.8k -> 107.7k iter/s, repeats=4) and phi NMSE vs eigh
+    # doubles (1.1e-1 -> 2.1e-1).  Kept as a knob for larger tile sizes
+    # where VPU traffic could genuinely dominate.
+    polar_bf16_store: bool = False
 
     def __post_init__(self):
         if self.phi_update not in ("diag", "ref_dense"):

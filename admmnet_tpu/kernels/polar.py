@@ -42,15 +42,20 @@ TILE = 128
 # only the last ``hi_steps`` plus the final |M| product pay for HIGHEST.
 
 
-def _mm(a, b, hi):
-    return jax.lax.dot(
+def _mm(a, b, hi, out_dtype=jnp.float32):
+    # Mosaic requires a 32-bit matmul accumulator; bf16 results are produced
+    # by a post-cast (one VPU op) rather than a narrow accumulator.
+    out = jax.lax.dot(
         a, b,
         precision=jax.lax.Precision.HIGHEST if hi else jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32,
     )
+    return out if out_dtype == jnp.float32 else out.astype(out_dtype)
 
 
-def _polar_kernel(mr_ref, mi_ref, pr_ref, pi_ref, *, schedule, hi_steps, kblk):
+def _polar_kernel(
+    mr_ref, mi_ref, pr_ref, pi_ref, *, schedule, hi_steps, kblk, bf16_store
+):
     """``kblk`` independent chains per program, interleaved op-by-op.
 
     A single 128^3 matmul chain is dependency-bound on the MXU; issuing the
@@ -68,32 +73,48 @@ def _polar_kernel(mr_ref, mi_ref, pr_ref, pi_ref, *, schedule, hi_steps, kblk):
         )
         for k in range(K)
     ]
-    Xr = [Mr[k] * inv[k] for k in range(K)]
-    Xi = [Mi[k] * inv[k] for k in range(K)]
-
-    eye = jnp.eye(TILE, dtype=jnp.float32)
+    # bf16 iterate storage: the low-precision steps already read operands
+    # through a one-pass-bf16 MXU multiply, so keeping X itself in bf16 loses
+    # nothing the matmul had not already rounded away -- while the VPU work
+    # that dominates the fast schedule (polynomial combines, Hermitian
+    # re-projection transposes) runs at 2x lanes and half the vreg traffic.
+    lo = jnp.bfloat16 if bf16_store else jnp.float32
+    Xr = [(Mr[k] * inv[k]).astype(lo) for k in range(K)]
+    Xi = [(Mi[k] * inv[k]).astype(lo) for k in range(K)]
 
     nsteps = len(schedule)
     for s, (a, b, c) in enumerate(schedule):
         hi = s >= nsteps - hi_steps
+        dt = jnp.float32 if hi else lo
+        if Xr[0].dtype != dt:  # low->high transition: promote the iterate
+            Xr = [x.astype(dt) for x in Xr]
+            Xi = [x.astype(dt) for x in Xi]
+        eye = jnp.eye(TILE, dtype=dt)
+        a, b, c = dt(a), dt(b), dt(c)
         # X2 = X @ X for Hermitian X: X2r = XrXr - XiXi (symmetric),
         # X2i = XrXi + XiXr = XrXi - (XrXi)^T (antisymmetric)  [3 matmuls]
-        XrXi = [_mm(Xr[k], Xi[k], hi) for k in range(K)]
-        X2r = [_mm(Xr[k], Xr[k], hi) - _mm(Xi[k], Xi[k], hi) for k in range(K)]
+        XrXi = [_mm(Xr[k], Xi[k], hi, dt) for k in range(K)]
+        X2r = [
+            _mm(Xr[k], Xr[k], hi, dt) - _mm(Xi[k], Xi[k], hi, dt)
+            for k in range(K)
+        ]
         X2i = [XrXi[k] - XrXi[k].T for k in range(K)]
         # X4 = X2 @ X2 likewise  [3 matmuls]
-        X2rX2i = [_mm(X2r[k], X2i[k], hi) for k in range(K)]
+        X2rX2i = [_mm(X2r[k], X2i[k], hi, dt) for k in range(K)]
         X4r = [
-            _mm(X2r[k], X2r[k], hi) - _mm(X2i[k], X2i[k], hi) for k in range(K)
+            _mm(X2r[k], X2r[k], hi, dt) - _mm(X2i[k], X2i[k], hi, dt)
+            for k in range(K)
         ]
         X4i = [X2rX2i[k] - X2rX2i[k].T for k in range(K)]
         # Y = a I + b X2 + c X4 (Hermitian, commutes with X)
         Yr = [a * eye + b * X2r[k] + c * X4r[k] for k in range(K)]
         Yi = [b * X2i[k] + c * X4i[k] for k in range(K)]
         # X <- X @ Y, Karatsuba: 3 matmuls
-        t1 = [_mm(Xr[k], Yr[k], hi) for k in range(K)]
-        t2 = [_mm(Xi[k], Yi[k], hi) for k in range(K)]
-        t3 = [_mm(Xr[k] + Xi[k], Yr[k] + Yi[k], hi) for k in range(K)]
+        t1 = [_mm(Xr[k], Yr[k], hi, dt) for k in range(K)]
+        t2 = [_mm(Xi[k], Yi[k], hi, dt) for k in range(K)]
+        t3 = [
+            _mm(Xr[k] + Xi[k], Yr[k] + Yi[k], hi, dt) for k in range(K)
+        ]
         Xr = [t1[k] - t2[k] for k in range(K)]
         Xi = [t3[k] - t1[k] - t2[k] for k in range(K)]
         if not hi:
@@ -103,8 +124,12 @@ def _polar_kernel(mr_ref, mi_ref, pr_ref, pi_ref, *, schedule, hi_steps, kblk):
             # Re-projecting onto the Hermitian subspace each low-precision
             # step keeps the spectral box argument valid.  Costs transposes
             # and adds, no extra matmuls.
-            Xr = [0.5 * (Xr[k] + Xr[k].T) for k in range(K)]
-            Xi = [0.5 * (Xi[k] - Xi[k].T) for k in range(K)]
+            half = dt(0.5)
+            Xr = [half * (Xr[k] + Xr[k].T) for k in range(K)]
+            Xi = [half * (Xi[k] - Xi[k].T) for k in range(K)]
+    if Xr[0].dtype != jnp.float32:
+        Xr = [x.astype(jnp.float32) for x in Xr]
+        Xi = [x.astype(jnp.float32) for x in Xi]
     # S = sign(M)/norm-domain; |M| = (S M + M S)/2 in original scale.
     # S commutes with M so S@M is Hermitian: compute once, symmetrize.
     t1 = [_mm(Xr[k], Mr[k], True) for k in range(K)]
@@ -123,11 +148,12 @@ def _polar_kernel(mr_ref, mi_ref, pr_ref, pi_ref, *, schedule, hi_steps, kblk):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "hi_steps", "kblk", "mode")
+    jax.jit,
+    static_argnames=("interpret", "hi_steps", "kblk", "mode", "bf16_store"),
 )
 def psd_project_polar_pallas(
     M: jnp.ndarray, interpret: bool = False, hi_steps: int | None = None,
-    kblk: int = 4, mode: str = "accurate",
+    kblk: int = 4, mode: str = "accurate", bf16_store: bool = False,
 ) -> jnp.ndarray:
     """PSD projection of batched Hermitian complex64 (..., m, m), m <= 128.
 
@@ -171,6 +197,7 @@ def psd_project_polar_pallas(
 
     kernel = functools.partial(
         _polar_kernel, schedule=schedule, hi_steps=hi_steps, kblk=kblk,
+        bf16_store=bf16_store and mode == "fast",
     )
     spec = pl.BlockSpec(
         (kblk, TILE, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM

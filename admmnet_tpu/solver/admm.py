@@ -116,7 +116,8 @@ def _g_step(M, opts: ADMMOptions):
 
             if fast:
                 return psd_project_polar_pallas(
-                    M, mode="fast", hi_steps=opts.polar_fast_hi_steps
+                    M, mode="fast", hi_steps=opts.polar_fast_hi_steps,
+                    bf16_store=opts.polar_bf16_store,
                 )
             return psd_project_polar_pallas(M)
         if fast:

@@ -127,6 +127,30 @@ def test_polar_fast_mode_matches_eigh_in_interpret():
     assert err.max() < 5e-4, err.max()
 
 
+def test_polar_fast_bf16_store_accuracy_in_interpret():
+    """bf16_store=True keeps the iterate in bf16 between low-precision steps
+    (a measured end-to-end negative result -- see RESULTS.md 3.5 -- kept as
+    a knob): the projection must stay at the fast mode's hardware noise
+    floor (~3e-3) even with bf16 rounding applied in interpret mode."""
+    from admmnet_tpu.kernels.polar import psd_project_polar_pallas
+
+    rng = np.random.default_rng(12)
+    X = (rng.normal(size=(3, 101, 101)) + 1j * rng.normal(size=(3, 101, 101))).astype(
+        np.complex64
+    )
+    M = (X + np.conj(np.swapaxes(X, -1, -2))) / 2
+    Pe = np.asarray(psd_project_eigh(jnp.asarray(M)))
+    for hi in (0, 1):
+        Pf = np.asarray(
+            psd_project_polar_pallas(
+                jnp.asarray(M), interpret=True, mode="fast", hi_steps=hi,
+                bf16_store=True,
+            )
+        )
+        err = np.linalg.norm(Pe - Pf, axis=(1, 2)) / np.linalg.norm(Pe, axis=(1, 2))
+        assert err.max() < 8e-3, (hi, err.max())
+
+
 def test_polar_fast_solver_mode_matches_eigh_mode():
     """g_update="polar_fast" end-to-end (XLA fallback path off-TPU)."""
     y, b, s = make_anchor_batch(2, mode="redemod", seed=5)
