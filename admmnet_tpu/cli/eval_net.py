@@ -21,6 +21,9 @@ def build_parser():
     p.add_argument("--ckpt", required=True)
     p.add_argument("--num-layers", type=int, default=10)
     p.add_argument("--g-mode", default="eigh", choices=["eigh", "chebyshev"])
+    p.add_argument("--head", default="attention",
+                   choices=["attention", "spectrum"],
+                   help="e2e ADMMNet peak head variant")
     p.add_argument("--limit", type=int, default=256, help="max test samples")
     p.add_argument("--tol", type=float, default=0.05, help="match tolerance")
     p.add_argument("--e2e", action="store_true",
@@ -51,7 +54,8 @@ def _eval_e2e(args):
     n = min(args.limit, test["y"].shape[0])
     test = {k: v[:n] for k, v in test.items()}
 
-    mcfg = ModelConfig(spec=spec, num_layers=args.num_layers, g_mode=args.g_mode)
+    mcfg = ModelConfig(spec=spec, num_layers=args.num_layers,
+                       g_mode=args.g_mode, head=args.head)
     model = ADMMNet(cfg=mcfg)
     params = cjit(lambda k, y, b, s: model.init(k, y, b, s))(
         jax.random.PRNGKey(0), test["y"][:2], test["b"][:2], test["sigma"][:2]
@@ -111,7 +115,8 @@ def main(argv=None):
     n = min(args.limit, test["y"].shape[0])
     test = {k: v[:n] for k, v in test.items()}
 
-    mcfg = ModelConfig(spec=spec, num_layers=args.num_layers, g_mode=args.g_mode)
+    mcfg = ModelConfig(spec=spec, num_layers=args.num_layers,
+                       g_mode=args.g_mode, head=args.head)
     model = PhiEstADMMNet(cfg=mcfg)
     params = cjit(lambda k, y, b, s: model.init(k, y, b, s))(
         jax.random.PRNGKey(0), test["y"][:2], test["b"][:2], test["sigma"][:2]

@@ -20,6 +20,9 @@ def build_parser():
     p.add_argument("--mode", default="fixed_e", choices=["fresh", "redemod", "fixed_e"])
     p.add_argument("--num-layers", type=int, default=10)
     p.add_argument("--g-mode", default="eigh", choices=["eigh", "chebyshev"])
+    p.add_argument("--head", default="attention",
+                   choices=["attention", "spectrum"],
+                   help="e2e ADMMNet peak head variant")
     p.add_argument("--top", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", action="store_true")
@@ -41,7 +44,8 @@ def main(argv=None):
 
     sc = load_anchor(mode=args.mode, rng=np.random.default_rng(args.seed))
     spec = ProblemSpec(Nb=sc.Nb, Nd=sc.Nd, L_max=3)
-    mcfg = ModelConfig(spec=spec, num_layers=args.num_layers, g_mode=args.g_mode)
+    mcfg = ModelConfig(spec=spec, num_layers=args.num_layers,
+                       g_mode=args.g_mode, head=args.head)
     model = PhiEstADMMNet(cfg=mcfg)
 
     y = np.asarray(sc.y, np.complex64)[None, :]

@@ -18,6 +18,10 @@ def build_parser():
     p.add_argument("--num-layers", type=int, default=10)
     p.add_argument("--g-mode", default="eigh", choices=["eigh", "chebyshev"],
                    help="GLayer spectral-filter evaluation (see ops/chebyshev.py)")
+    p.add_argument("--head", default="attention",
+                   choices=["attention", "spectrum"],
+                   help="e2e peak head: attention (reference parity) or "
+                        "spectrum (differentiable spectral search)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--lr", type=float, default=None,
@@ -45,7 +49,8 @@ def main(argv=None):
     val = gen.load_split("val")
     test = gen.load_split("test")
 
-    mcfg = ModelConfig(spec=spec, num_layers=args.num_layers, g_mode=args.g_mode)
+    mcfg = ModelConfig(spec=spec, num_layers=args.num_layers,
+                       g_mode=args.g_mode, head=args.head)
     lr = args.lr if args.lr is not None else (5e-3 if args.phi else 1e-3)
     tcfg = TrainConfig(
         batch_size=args.batch_size, epochs=args.epochs, lr=lr, seed=args.seed,

@@ -164,6 +164,15 @@ class ModelConfig:
     # no eigendecomposition -- see ops/chebyshev.py).
     g_mode: str = "eigh"
     cheb_degree: int = 48
+    # Peak head for the e2e ADMMNet: "attention" (reference parity,
+    # admm_net.py:494-630: direct (tau, f) regression) or "spectrum"
+    # (extension: differentiable coarse-to-fine spectral search with a
+    # soft-argmax finish -- see models/peak_head.py SpectrumPeakHead).
+    head: str = "attention"
+    head_grid_step: float = 0.01
+    head_refine_rounds: int = 3
+    head_refine_points: int = 11
+    head_reduce_factor: float = 0.2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from admmnet_tpu.core.config import ModelConfig
 from admmnet_tpu.models.layers import GLayer, HLayer, PhiLayer, ZLayer
-from admmnet_tpu.models.peak_head import PeakSearchHead
+from admmnet_tpu.models.peak_head import PeakSearchHead, SpectrumPeakHead
 from admmnet_tpu.ops.atoms import COMPLEX
 
 
@@ -101,8 +101,11 @@ class PhiEstADMMNet(nn.Module):
 
 
 class ADMMNet(nn.Module):
-    """Full net: trunk + attention peak head
-    (reference admm_net.py:767-816)."""
+    """Full net: trunk + learned peak head (reference admm_net.py:767-816).
+
+    ``cfg.head`` selects the head: "attention" (reference-parity direct
+    regression) or "spectrum" (differentiable coarse-to-fine spectral
+    search; see models/peak_head.py)."""
 
     cfg: ModelConfig
 
@@ -110,12 +113,25 @@ class ADMMNet(nn.Module):
     def __call__(self, y, b, sigma, deterministic: bool = True):
         cfg = self.cfg
         phi = _Trunk(cfg=cfg, name="trunk")(y, b, sigma)
-        tau_est, f_est, conf = PeakSearchHead(
-            M=cfg.spec.Nb,
-            N=cfg.spec.Nd,
-            L_max=cfg.spec.L_max,
-            hidden_dim=cfg.hidden_dim,
-            num_heads=cfg.num_heads,
-            name="peak_head",
-        )(phi, deterministic=deterministic)
+        if cfg.head == "spectrum":
+            head = SpectrumPeakHead(
+                M=cfg.spec.Nb,
+                N=cfg.spec.Nd,
+                L_max=cfg.spec.L_max,
+                grid_step=cfg.head_grid_step,
+                refine_rounds=cfg.head_refine_rounds,
+                refine_points=cfg.head_refine_points,
+                reduce_factor=cfg.head_reduce_factor,
+                name="peak_head",
+            )
+        else:
+            head = PeakSearchHead(
+                M=cfg.spec.Nb,
+                N=cfg.spec.Nd,
+                L_max=cfg.spec.L_max,
+                hidden_dim=cfg.hidden_dim,
+                num_heads=cfg.num_heads,
+                name="peak_head",
+            )
+        tau_est, f_est, conf = head(phi, deterministic=deterministic)
         return tau_est, f_est, conf, phi

@@ -285,3 +285,50 @@ def test_phinet_chebyshev_mode_trains():
     # the GLayer filter params receive gradient (no detach in this mode)
     gsum = sum(float(np.sum(np.abs(np.asarray(g)))) for g in leaves)
     assert gsum > 0
+
+
+def test_spectrum_head_localizes_atoms_and_carries_gradient():
+    """SpectrumPeakHead on phi = sum of atoms: even untrained it must
+    localize each target to well under the 0.05 match tolerance (geometric
+    search), and position/confidence outputs must carry gradient back to
+    phi (through the soft-argmax and conf MLP)."""
+    from admmnet_tpu.models.peak_head import SpectrumPeakHead
+    from admmnet_tpu.ops.atoms import atom
+
+    Nb = Nd = 10
+    head = SpectrumPeakHead(M=Nb, N=Nd, L_max=3)
+    taus_t = np.array([0.45, 0.2, 0.78], np.float32)
+    fs_t = np.array([-0.25, 0.1, 0.33], np.float32)
+    phi = sum(
+        np.asarray(atom(t, f, Nb, Nd)) * g
+        for t, f, g in zip(taus_t, fs_t, [1.0, 0.8, 0.6])
+    )
+    phi = jnp.asarray(phi[None, :])
+    params = head.init(jax.random.PRNGKey(0), phi)
+    tau, f, conf = head.apply(params, phi)
+    assert tau.shape == f.shape == conf.shape == (1, 3)
+    for tt, ff in zip(taus_t, fs_t):
+        d = np.abs(np.asarray(tau)[0] - tt) + np.abs(np.asarray(f)[0] - ff)
+        assert d.min() < 5e-3, (tt, ff, d)
+
+    def loss(pair):
+        t, fr, c = head.apply(params, pair[0] + 1j * pair[1])
+        return jnp.sum(t) + jnp.sum(fr) + jnp.sum(c)
+
+    g = jax.grad(loss)((jnp.real(phi), jnp.imag(phi)))
+    assert float(jnp.linalg.norm(g[0])) > 0
+    assert float(jnp.linalg.norm(g[1])) > 0
+
+
+def test_admmnet_spectrum_head_forward_shapes():
+    cfg = ModelConfig(
+        spec=ProblemSpec(Nb=4, Nd=4, L_max=3), num_layers=2, head="spectrum"
+    )
+    model = ADMMNet(cfg=cfg)
+    y, b, sigma = _inputs(cfg)
+    params = model.init(jax.random.PRNGKey(0), y, b, sigma)
+    tau, f, conf, phi = model.apply(params, y, b, sigma)
+    assert tau.shape == f.shape == conf.shape == (3, 3)
+    assert phi.shape == (3, 16)
+    assert np.all((np.asarray(tau) >= 0) & (np.asarray(tau) <= 1))
+    assert np.all((np.asarray(conf) >= 0) & (np.asarray(conf) <= 1))

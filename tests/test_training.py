@@ -67,6 +67,23 @@ def test_train_admmnet_end_to_end(tmp_path):
     assert set(res.test_metrics) >= {"precision", "recall", "f1_score", "tau_rmse"}
 
 
+def test_train_admmnet_spectrum_head(tmp_path):
+    """e2e training with the differentiable spectral-search head
+    (ModelConfig.head="spectrum") runs, checkpoints, and scores."""
+    mcfg = ModelConfig(spec=SPEC, num_layers=2, hidden_dim=32, head="spectrum")
+    tcfg = TrainConfig(
+        batch_size=32, epochs=2, patience=5, seed=0, assignment="perm"
+    )
+    train = _dataset(96, seed=1)
+    val = _dataset(32, seed=2)
+    test = _dataset(32, seed=3)
+    res = train_admmnet(mcfg, tcfg, train, val, test, workdir=tmp_path / "run")
+    assert len(res.history["train_loss"]) == 2
+    assert np.isfinite(res.history["train_loss"]).all()
+    assert (tmp_path / "run" / "best_model.msgpack").exists()
+    assert set(res.test_metrics) >= {"precision", "recall", "f1_score", "tau_rmse"}
+
+
 def test_train_resume(tmp_path):
     mcfg = ModelConfig(spec=SPEC, num_layers=1, hidden_dim=16)
     train = _dataset(64, seed=4)
