@@ -29,6 +29,12 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--assignment", default="slot", choices=["slot", "perm"],
                    help="e2e loss target assignment (perm = set matching)")
+    p.add_argument("--spectral-weight", type=float, default=None,
+                   help="spectral contrast loss weight (default 0.5 with "
+                        "--head spectrum, else 0; see train/losses.py)")
+    p.add_argument("--init-from", default=None,
+                   help="warm-start matching submodules (e.g. the trunk) "
+                        "from this checkpoint dir (e2e mode only)")
     return p
 
 
@@ -52,9 +58,12 @@ def main(argv=None):
     mcfg = ModelConfig(spec=spec, num_layers=args.num_layers,
                        g_mode=args.g_mode, head=args.head)
     lr = args.lr if args.lr is not None else (5e-3 if args.phi else 1e-3)
+    sw = args.spectral_weight
+    if sw is None:
+        sw = 0.5 if args.head == "spectrum" else 0.0
     tcfg = TrainConfig(
         batch_size=args.batch_size, epochs=args.epochs, lr=lr, seed=args.seed,
-        assignment=args.assignment,
+        assignment=args.assignment, spectral_weight=sw,
     )
     Path(args.workdir).mkdir(parents=True, exist_ok=True)
     (Path(args.workdir) / "config.json").write_text(
@@ -62,8 +71,11 @@ def main(argv=None):
                     "train": json.loads(to_json(tcfg))}, indent=2)
     )
 
-    fn = train_phinet if args.phi else train_admmnet
-    res = fn(mcfg, tcfg, train, val, test, workdir=args.workdir)
+    if args.phi:
+        res = train_phinet(mcfg, tcfg, train, val, test, workdir=args.workdir)
+    else:
+        res = train_admmnet(mcfg, tcfg, train, val, test,
+                            workdir=args.workdir, init_from=args.init_from)
     print(f"best val loss {res.best_val_loss:.6f} after {res.epochs_run} epochs")
     if res.test_metrics:
         print("test:", json.dumps(res.test_metrics, indent=2))

@@ -194,6 +194,10 @@ class TrainConfig:
     # e2e loss target assignment: "slot" (reference parity) or "perm"
     # (permutation-invariant set matching; see train/losses.py)
     assignment: str = "slot"
+    # weight of the spectral contrast term (train/losses.py
+    # spectral_contrast_loss); needed to train the trunk under the spectrum
+    # peak head, whose argmax positions carry no cross-cell gradient
+    spectral_weight: float = 0.0
     seed: int = 0
 
 

@@ -85,6 +85,39 @@ def permutation_matched_parameter_loss(
     return jnp.mean(per_sample)
 
 
+def spectral_contrast_loss(
+    phi, tau_true, f_true, L_true, Nb: int, Nd: int, log_eps: float = 1e-4
+) -> jnp.ndarray:
+    """-mean_t log(cos^2 angle(phi, a(tau_t, f_t)) + eps): pull dual-
+    polynomial spectrum mass onto the true targets (extension, no reference
+    analog).
+
+    Rationale: the spectrum-search head's position outputs are produced by
+    argmax cell selection plus a narrow soft-argmax window, so the parameter
+    loss carries no gradient when a coarse peak sits in the wrong cell
+    (measured: e2e training with the bare head leaves val RMSE bit-frozen
+    while only the confidence MLP learns).  This term is differentiable
+    through the whole spectrum: it evaluates z = |<phi, a>|^2 at the EXACT
+    ground-truth positions (peaks/spectrum.spectrum_at) and maximizes the
+    normalized alignment z/(||phi||^2 n) in [0, 1] (Cauchy-Schwarz).  The
+    log makes a vanished target peak (align -> 0) expensive while extra
+    alignment on an already-found target saturates, so phi cannot collapse
+    onto a subset of the targets.
+    """
+    from admmnet_tpu.peaks.spectrum import spectrum_at
+
+    n = Nb * Nd
+    z = spectrum_at(phi, tau_true, f_true, Nb, Nd)  # (B, L_max)
+    e = jnp.sum(jnp.abs(phi) ** 2, axis=-1, keepdims=True)
+    align = z / (e * n + 1e-20)
+    L_max = tau_true.shape[-1]
+    L_true = L_true.astype(jnp.int32)
+    mask = (jnp.arange(L_max)[None, :] < L_true[:, None]).astype(align.dtype)
+    cnt = jnp.maximum(L_true.astype(align.dtype), 1.0)
+    per_sample = jnp.sum(mask * -jnp.log(align + log_eps), axis=-1) / cnt
+    return jnp.mean(jnp.where(L_true > 0, per_sample, 0.0))
+
+
 def basic_anm_loss(
     tau_pred,
     f_pred,
@@ -95,12 +128,19 @@ def basic_anm_loss(
     L_true,
     lambda_reg: float = 1e-4,
     assignment: str = "slot",
+    spectral_weight: float = 0.0,
+    spec=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Parameter loss + lambda_reg * mean ||phi|| (reference loss.py:33-60).
 
     ``assignment``: "slot" (reference parity: slot i pairs with target i) or
     "perm" (permutation-invariant set matching, see
     ``permutation_matched_parameter_loss``).
+
+    ``spectral_weight`` > 0 adds ``spectral_weight *
+    spectral_contrast_loss(...)`` (requires ``spec``, a ProblemSpec) -- used
+    with the spectrum peak head, whose position outputs alone carry no
+    cross-cell gradient.
     """
     param_fn = (
         permutation_matched_parameter_loss
@@ -114,7 +154,15 @@ def basic_anm_loss(
         jnp.sqrt(jnp.sum(jnp.abs(phi) ** 2, axis=-1))
     )
     total = param + reg
-    return total, {"total_loss": total, "param_loss": param, "reg_loss": reg}
+    parts = {"total_loss": total, "param_loss": param, "reg_loss": reg}
+    if spectral_weight > 0.0:
+        spectral = spectral_contrast_loss(
+            phi, tau_true, f_true, L_true, spec.Nb, spec.Nd
+        )
+        total = total + spectral_weight * spectral
+        parts["spectral_loss"] = spectral
+        parts["total_loss"] = total
+    return total, parts
 
 
 def phi_alignment_loss(

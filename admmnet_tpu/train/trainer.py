@@ -138,11 +138,17 @@ def train_admmnet(
     test_data: Optional[Dict[str, np.ndarray]] = None,
     workdir: str = "runs/admmnet",
     log_fn: Callable[[str], None] = print,
+    init_from: Optional[str] = None,
 ) -> TrainResult:
+    """``init_from``: warm-start matching submodules (e.g. the unrolled
+    "trunk") from another run's checkpoint -- typically a trained
+    PhiEstADMMNet, mirroring the reference's deployment of the phi net
+    (main_for_net.py:99-104) -- before e2e fine-tuning.  Ignored when the
+    workdir already has a checkpoint to resume."""
     model = ADMMNet(cfg=mcfg)
     return _train_loop(
         model, mcfg, tcfg, train_data, val_data, test_data, workdir, log_fn,
-        mode="e2e",
+        mode="e2e", init_from=init_from,
     )
 
 
@@ -164,7 +170,10 @@ def train_phinet(
     )
 
 
-def build_steps(model, tx, mode: str, assignment: str = "slot"):
+def build_steps(
+    model, tx, mode: str, assignment: str = "slot",
+    spectral_weight: float = 0.0,
+):
     """Build (train_step, eval_step) pure functions for ``model``.
 
     ``mode``: "e2e" (ADMMNet + BasicANMLoss) or "phi" (PhiEstADMMNet +
@@ -184,6 +193,8 @@ def build_steps(model, tx, mode: str, assignment: str = "slot"):
             total, parts = basic_anm_loss(
                 tau, f, conf, phi, batch["tau"], batch["f"], batch["L_true"],
                 assignment=assignment,
+                spectral_weight=spectral_weight,
+                spec=model.cfg.spec,
             )
             aux = {"tau": tau, "f": f, "conf": conf}
         else:
@@ -223,8 +234,38 @@ def _batches(data, batch_size, shuffle, seed):
     return iterate_batches(data, batch_size, shuffle=shuffle, seed=seed)
 
 
+def _graft_params(params, donor, log_fn):
+    """Replace top-level submodule trees of ``params`` ("params"/"trunk"/...)
+    with same-named, same-structured trees from ``donor``."""
+    import jax
+
+    inner = params["params"]
+    donor_inner = donor.get("params", donor)
+    grafted = dict(inner)
+    taken = []
+    for k, v in donor_inner.items():
+        if k not in inner:
+            continue
+        tgt_shapes = jax.tree.map(jnp.shape, inner[k])
+        src_shapes = jax.tree.map(lambda a: tuple(np.shape(a)), v)
+        if tgt_shapes != src_shapes:
+            raise ValueError(
+                f"init_from submodule {k!r} structure mismatch: "
+                f"{src_shapes} vs {tgt_shapes}"
+            )
+        grafted[k] = jax.tree.map(jnp.asarray, v)
+        taken.append(k)
+    if not taken:
+        raise ValueError("init_from checkpoint shares no submodules with model")
+    log_fn(f"warm-started submodules {taken} from init_from checkpoint")
+    out = dict(params)
+    out["params"] = grafted
+    return out
+
+
 def _train_loop(
-    model, mcfg, tcfg, train_data, val_data, test_data, workdir, log_fn, mode
+    model, mcfg, tcfg, train_data, val_data, test_data, workdir, log_fn, mode,
+    init_from=None,
 ):
     workdir = Path(workdir)
     workdir.mkdir(parents=True, exist_ok=True)
@@ -243,7 +284,10 @@ def _train_loop(
     opt_state = tx.init(params)
 
     assignment = getattr(tcfg, "assignment", "slot")
-    train_step, eval_step = build_steps(model, tx, mode, assignment=assignment)
+    train_step, eval_step = build_steps(
+        model, tx, mode, assignment=assignment,
+        spectral_weight=getattr(tcfg, "spectral_weight", 0.0),
+    )
 
     def batch_rmses(aux, batch):
         if assignment == "perm":
@@ -261,6 +305,14 @@ def _train_loop(
     start_epoch, best_val, patience_ct = 0, float("inf"), 0
     history = {"train_loss": [], "val_loss": [], "tau_rmse": [], "f_rmse": [], "lr": []}
     restored = restore_checkpoint(workdir, {"params": params, "opt_state": opt_state})
+    if restored is None and init_from is not None:
+        import flax.serialization as fser
+
+        raw = fser.msgpack_restore(
+            (Path(init_from) / "best_model.msgpack").read_bytes()
+        )
+        params = _graft_params(params, raw["params"], log_fn)
+        opt_state = tx.init(params)
     if restored is not None:
         state, meta = restored
         params, opt_state = state["params"], state["opt_state"]

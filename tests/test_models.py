@@ -332,3 +332,48 @@ def test_admmnet_spectrum_head_forward_shapes():
     assert phi.shape == (3, 16)
     assert np.all((np.asarray(tau) >= 0) & (np.asarray(tau) <= 1))
     assert np.all((np.asarray(conf) >= 0) & (np.asarray(conf) <= 1))
+
+
+def test_spectral_contrast_loss_descends_toward_targets():
+    """Gradient descent on spectral_contrast_loss alone must (a) decrease the
+    loss and (b) increase the spectrum alignment at EVERY true target (the
+    log form forbids collapsing onto a subset of targets)."""
+    from admmnet_tpu.ops.atoms import atom
+    from admmnet_tpu.peaks.spectrum import spectrum_at
+    from admmnet_tpu.train.losses import spectral_contrast_loss
+
+    Nb = Nd = 8
+    taus_t = jnp.asarray([[0.3, 0.7]], jnp.float32)
+    fs_t = jnp.asarray([[-0.2, 0.25]], jnp.float32)
+    L_true = jnp.asarray([2], jnp.int32)
+
+    # start from a phi correlated with the targets but contaminated
+    rng = np.random.default_rng(3)
+    phi0 = (
+        np.asarray(atom(0.3, -0.2, Nb, Nd))
+        + np.asarray(atom(0.7, 0.25, Nb, Nd))
+        + 3.0 * (rng.normal(size=Nb * Nd) + 1j * rng.normal(size=Nb * Nd))
+    ).astype(np.complex64)[None, :]
+
+    def loss(pair):
+        phi = pair[0] + 1j * pair[1]
+        return spectral_contrast_loss(phi, taus_t, fs_t, L_true, Nb, Nd)
+
+    def aligns(pair):
+        phi = pair[0] + 1j * pair[1]
+        z = spectrum_at(phi, taus_t, fs_t, Nb, Nd)
+        e = jnp.sum(jnp.abs(phi) ** 2, axis=-1, keepdims=True)
+        return z / (e * Nb * Nd)
+
+    pair = (jnp.real(jnp.asarray(phi0)), jnp.imag(jnp.asarray(phi0)))
+    a0 = np.asarray(aligns(pair))
+    l0 = float(loss(pair))
+    g = jax.jit(jax.grad(loss))
+    for _ in range(200):
+        gr = g(pair)
+        pair = (pair[0] - 0.5 * gr[0], pair[1] - 0.5 * gr[1])
+    a1 = np.asarray(aligns(pair))
+    l1 = float(loss(pair))
+    assert l1 < l0
+    assert (a1 > a0).all(), (a0, a1)
+    assert a1.min() > 0.1, a1  # both targets hold substantial mass

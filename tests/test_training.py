@@ -72,7 +72,8 @@ def test_train_admmnet_spectrum_head(tmp_path):
     (ModelConfig.head="spectrum") runs, checkpoints, and scores."""
     mcfg = ModelConfig(spec=SPEC, num_layers=2, hidden_dim=32, head="spectrum")
     tcfg = TrainConfig(
-        batch_size=32, epochs=2, patience=5, seed=0, assignment="perm"
+        batch_size=32, epochs=2, patience=5, seed=0, assignment="perm",
+        spectral_weight=0.5,
     )
     train = _dataset(96, seed=1)
     val = _dataset(32, seed=2)
@@ -82,6 +83,38 @@ def test_train_admmnet_spectrum_head(tmp_path):
     assert np.isfinite(res.history["train_loss"]).all()
     assert (tmp_path / "run" / "best_model.msgpack").exists()
     assert set(res.test_metrics) >= {"precision", "recall", "f1_score", "tau_rmse"}
+
+
+def test_train_admmnet_init_from_phinet(tmp_path):
+    """--init-from grafts a trained PhiEstADMMNet trunk into the e2e
+    ADMMNet before fine-tuning (the reference deploys exactly this
+    combination, main_for_net.py:99-104)."""
+    import flax.serialization as fser
+
+    mcfg_phi = ModelConfig(spec=SPEC, num_layers=2, hidden_dim=32)
+    tcfg1 = TrainConfig(batch_size=32, epochs=1, seed=0)
+    phi_train = _dataset(64, seed=7, with_phi=True)
+    phi_val = _dataset(32, seed=8, with_phi=True)
+    train_phinet(mcfg_phi, tcfg1, phi_train, phi_val, None,
+                 workdir=tmp_path / "phi")
+
+    mcfg = ModelConfig(spec=SPEC, num_layers=2, hidden_dim=32, head="spectrum")
+    tcfg = TrainConfig(batch_size=32, epochs=1, seed=0, assignment="perm",
+                       spectral_weight=0.5)
+    logs = []
+    res = train_admmnet(
+        mcfg, tcfg, _dataset(64, seed=1), _dataset(32, seed=2), None,
+        workdir=tmp_path / "e2e", init_from=tmp_path / "phi",
+        log_fn=lambda m: logs.append(str(m)),
+    )
+    assert any("warm-started submodules ['trunk']" in m for m in logs), logs
+    assert np.isfinite(res.history["train_loss"]).all()
+
+    # the e2e checkpoint's trunk must differ from fresh init (it was grafted)
+    raw = fser.msgpack_restore(
+        (tmp_path / "phi" / "best_model.msgpack").read_bytes()
+    )
+    assert "trunk" in raw["params"]["params"]
 
 
 def test_train_resume(tmp_path):
