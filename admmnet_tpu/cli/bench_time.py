@@ -23,13 +23,19 @@ import numpy as np
 
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--what", choices=["admm", "net"], default="admm")
+    p.add_argument("--what", choices=["admm", "net", "e2e"], default="admm",
+                   help="admm: classical solver; net: PhiEstADMMNet trunk "
+                        "forward (reference test_time_net.py); e2e: full "
+                        "ADMMNet observation -> (tau, f, conf) peak list")
     p.add_argument("--runs", type=int, default=1000)
     p.add_argument("--iters", type=int, default=100, help="ADMM iterations")
     p.add_argument("--layers", type=int, default=10, help="net depth")
     p.add_argument("--g-update", default="newton_schulz")
     p.add_argument("--g-mode", default="eigh", choices=["eigh", "chebyshev"],
-                   help="net GLayer mode (--what net)")
+                   help="net GLayer mode (--what net / e2e)")
+    p.add_argument("--head", default="spectrum",
+                   choices=["attention", "spectrum"],
+                   help="peak head (--what e2e)")
     p.add_argument("--ckpt", default=None, help="net checkpoint (else fresh init)")
     p.add_argument("--sequential", action="store_true",
                    help="time one solve at a time (latency, not throughput)")
@@ -60,12 +66,13 @@ def main(argv=None):
         )
         label = f"classical ADMM ({args.iters} iters, {args.g_update})"
     else:
-        from admmnet_tpu.models import PhiEstADMMNet
+        from admmnet_tpu.models import ADMMNet, PhiEstADMMNet
         from admmnet_tpu.train.checkpoint import restore_checkpoint
 
+        e2e = args.what == "e2e"
         mcfg = ModelConfig(spec=ProblemSpec(), num_layers=args.layers,
-                           g_mode=args.g_mode)
-        model = PhiEstADMMNet(cfg=mcfg)
+                           g_mode=args.g_mode, head=args.head)
+        model = (ADMMNet if e2e else PhiEstADMMNet)(cfg=mcfg)
         params = cjit(lambda k, y, b, s: model.init(k, y, b, s))(
             jax.random.PRNGKey(0), y[:1], b[:1], sigma[:1]
         )
@@ -73,8 +80,20 @@ def main(argv=None):
             restored = restore_checkpoint(args.ckpt, {"params": params, "opt_state": None})
             if restored is not None:
                 params = restored[0]["params"]
-        fn = cjit(lambda y, b, s: jnp.sum(jnp.abs(model.apply(params, y, b, s))))
-        label = f"ADMM-Net forward ({args.layers} layers)"
+        if e2e:
+            # full pipeline: observation -> (tau, f, conf); touch every output
+            def _run(y, b, s):
+                tau, f, conf, _phi = model.apply(params, y, b, s)
+                return jnp.sum(tau) + jnp.sum(f) + jnp.sum(conf)
+
+            fn = cjit(_run)
+            label = (f"ADMM-Net e2e detection ({args.layers} layers, "
+                     f"{args.head} head)")
+        else:
+            fn = cjit(
+                lambda y, b, s: jnp.sum(jnp.abs(model.apply(params, y, b, s)))
+            )
+            label = f"ADMM-Net forward ({args.layers} layers)"
 
     if args.sequential:
         # true per-solve latency, one instance at a time

@@ -52,6 +52,15 @@ def test_bench_time_batched(capsys, tmp_path):
     assert out.exists() and np.loadtxt(out).shape == (8,)
 
 
+def test_bench_time_e2e(capsys):
+    from admmnet_tpu.cli.bench_time import main
+
+    main(["--what", "e2e", "--runs", "4", "--layers", "1",
+          "--g-mode", "chebyshev"])
+    txt = capsys.readouterr().out
+    assert "ADMM-Net e2e detection" in txt and "spectrum head" in txt
+
+
 def test_plotting_writes_files(tmp_path):
     from admmnet_tpu.ops.atoms import atom
     from admmnet_tpu.utils.plotting import plot_peaks, plot_predictions_vs_truth
