@@ -85,11 +85,17 @@ class ADMMOptions:
     # doubles (1.1e-1 -> 2.1e-1).  Kept as a knob for larger tile sizes
     # where VPU traffic could genuinely dominate.
     polar_bf16_store: bool = False
+    # fused_fast only (kernels/fused_admm_fast.py: whole fixed-iteration
+    # solve in one Pallas call): instances per program and bisection depth
+    # of the in-kernel H-projection (16 passes the bench quality gates at
+    # the fast mode's phi-NMSE floor; 32 is the XLA-projection-equivalent)
+    fused_kblk: int = 8
+    fused_proj_iters: int = 16
 
     def __post_init__(self):
         if self.phi_update not in ("diag", "ref_dense"):
             raise ValueError(f"unknown phi_update {self.phi_update!r}")
-        if self.g_update not in ("eigh", "polar", "polar_fast",
+        if self.g_update not in ("eigh", "polar", "polar_fast", "fused_fast",
                                  "newton_schulz", "ref_identity"):
             raise ValueError(f"unknown g_update {self.g_update!r}")
 

@@ -103,14 +103,16 @@ def _phi_update_ref_dense(y, b, g, zeta, rho):
 def _g_step(M, opts: ADMMOptions):
     if opts.g_update == "eigh":
         return psd_project_eigh(M)
-    if opts.g_update in ("polar", "polar_fast"):
+    # "fused_fast" reaches here only from the while_loop path (admm_solve)
+    # or the off-TPU fallback; its per-step PSD math is polar_fast's.
+    if opts.g_update in ("polar", "polar_fast", "fused_fast"):
         # On TPU the fused Pallas kernel is ~3.3x the XLA path (VMEM-resident
         # schedule, Hermitian-structure matmul savings); elsewhere use XLA.
         # "polar_fast" additionally runs all but the last schedule step at
         # one-pass bf16 (box-constrained POLAR_BF16_SCHEDULE; ~2.6e-3 |M|
         # error vs ~1e-4) -- only meaningful on the real MXU, so the XLA
         # fallback just evaluates its schedule at full precision.
-        fast = opts.g_update == "polar_fast"
+        fast = opts.g_update in ("polar_fast", "fused_fast")
         if jax.default_backend() == "tpu" and M.shape[-1] <= 128:
             from admmnet_tpu.kernels.polar import psd_project_polar_pallas
 
@@ -255,6 +257,30 @@ def admm_solve_fixed(
     b = jnp.asarray(b, COMPLEX)
     batch = y.shape[:-1]
     n = y.shape[-1]
+
+    if opts.g_update == "fused_fast":
+        # whole solve in one Pallas call (kernels/fused_admm_fast.py);
+        # falls back to the scan path + polar_fast off-TPU
+        if jax.default_backend() == "tpu" and n + 1 <= 128 and len(batch) <= 1:
+            from admmnet_tpu.kernels.fused_admm_fast import (
+                admm_solve_fused_fast,
+            )
+
+            yb = y.reshape(-1, n) if batch else y[None]
+            out = admm_solve_fused_fast(
+                yb, jnp.broadcast_to(b, yb.shape),
+                jnp.broadcast_to(jnp.asarray(sigma, jnp.float32),
+                                 yb.shape[:1]),
+                num_iters, opts.rho, lambda_val,
+                kblk=opts.fused_kblk, hi_steps=opts.polar_fast_hi_steps,
+                outer_iters=opts.fused_proj_iters,
+                inner_iters=opts.fused_proj_iters,
+            )
+            return out.reshape(*batch, n) if batch else out[0]
+        import dataclasses as _dc
+
+        opts = _dc.replace(opts, g_update="polar_fast")
+
     sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), batch)
     A = 2.0 * jnp.sqrt(float(n)) * sigma + sigma**2
     lam_inv_sq = 1.0 / (lambda_val**2)

@@ -17,15 +17,18 @@ Protocol (mirrors reference test/test_time_admm.py:85-110, batched):
   approximate PSD modes the line also reports phi NMSE vs the exact-eigh
   solve on the same instances.
 
-Default PSD mode is polar_fast (bf16 box-constrained sign schedule,
-kernels/polar.py): detection metrics match the exact solve (F1 1.0,
-tau/f RMSE well under the 0.05 match tolerance) at 1.8x the all-HIGHEST
-polar throughput; its phi differs from the eigh solve by ~1e-1 NMSE (the
-reported field).  BENCH_G=polar gives the NMSE-exact (1.5e-6) mode.
+Default mode is fused_fast (kernels/fused_admm_fast.py): the WHOLE
+fixed-iteration solve runs in one Pallas call -- K-interleaved instances,
+bf16 box-constrained sign schedule, in-kernel vectorized H-projection, G/Z
+resident in VMEM across all iterations.  Detection metrics match the exact
+solve (F1 1.0, tau/f RMSE well under the 0.05 match tolerance); phi differs
+from the eigh solve by ~1e-1 NMSE (the reported field) exactly like the
+per-step polar_fast mode whose math it fuses.  BENCH_G=polar gives the
+NMSE-exact (1.5e-6) mode; BENCH_G=polar_fast the per-step fast kernel.
 
 Env knobs: BENCH_BATCH (default 2048), BENCH_ITERS (100), BENCH_G (psd mode:
-polar_fast | polar | newton_schulz | eigh), BENCH_FAST_HI (0|1: append the
-HIGHEST polish step in polar_fast), BENCH_REPEATS (default 2).
+fused_fast | polar_fast | polar | newton_schulz | eigh), BENCH_FAST_HI
+(0|1: append the HIGHEST polish step), BENCH_REPEATS (default 2).
 """
 
 import json
@@ -47,7 +50,7 @@ def main():
 
     B = int(os.environ.get("BENCH_BATCH", 2048))
     ITERS = int(os.environ.get("BENCH_ITERS", 100))
-    G_MODE = os.environ.get("BENCH_G", "polar_fast")
+    G_MODE = os.environ.get("BENCH_G", "fused_fast")
     REPEATS = int(os.environ.get("BENCH_REPEATS", 2))
     FAST_HI = int(os.environ.get("BENCH_FAST_HI", 0))
     opts = ADMMOptions(g_update=G_MODE, polar_fast_hi_steps=FAST_HI)

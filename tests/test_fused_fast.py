@@ -1,0 +1,69 @@
+"""Fast-schedule fully-fused ADMM solve (kernels/fused_admm_fast.py) vs the
+XLA fixed-iteration path (interpret mode on CPU; the compiled path is the
+bench default on TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from admmnet_tpu.core.config import ADMMOptions
+from admmnet_tpu.data.anchor import make_anchor_batch
+from admmnet_tpu.kernels.fused_admm_fast import admm_solve_fused_fast
+from admmnet_tpu.solver import admm_solve_fixed
+
+
+def test_fused_fast_matches_scan_path():
+    """Interpret mode runs the bf16 schedule at f32, exactly like the scan
+    path's off-TPU polar_fast fallback -> bitwise-level agreement."""
+    y, b, s = make_anchor_batch(4, mode="redemod", seed=3)
+    phi_f = np.asarray(
+        admm_solve_fused_fast(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s),
+                              20, kblk=4, interpret=True)
+    )
+    phi_x = np.asarray(
+        admm_solve_fixed(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 20,
+                         1.0, ADMMOptions(g_update="polar_fast"))
+    )
+    err = np.linalg.norm(phi_f - phi_x, axis=-1) / np.linalg.norm(phi_x, axis=-1)
+    assert err.max() < 5e-5, err
+
+
+def test_fused_fast_kblk_padding():
+    """Batch not a kblk multiple: padded instances must not corrupt output."""
+    y, b, s = make_anchor_batch(3, mode="redemod", seed=4)
+    phi_p = np.asarray(
+        admm_solve_fused_fast(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s),
+                              10, kblk=2, interpret=True)
+    )
+    phi_1 = np.asarray(
+        admm_solve_fused_fast(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s),
+                              10, kblk=1, interpret=True)
+    )
+    np.testing.assert_allclose(phi_p, phi_1, rtol=2e-5, atol=1e-6)
+
+
+def test_fused_fast_reduced_bisection_stays_on_floor():
+    """The production config (16-deep in-kernel bisection) must stay at the
+    fast mode's phi accuracy floor relative to the 32-deep reference."""
+    y, b, s = make_anchor_batch(2, mode="redemod", seed=5)
+    args = (jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 30)
+    p16 = np.asarray(admm_solve_fused_fast(
+        *args, kblk=2, outer_iters=16, inner_iters=16, interpret=True))
+    p32 = np.asarray(admm_solve_fused_fast(
+        *args, kblk=2, outer_iters=32, inner_iters=32, interpret=True))
+    err = np.linalg.norm(p16 - p32, axis=-1) / np.linalg.norm(p32, axis=-1)
+    assert err.max() < 0.05, err
+
+
+def test_solver_dispatch_fused_fast_falls_back_off_tpu():
+    """g_update="fused_fast" through admm_solve_fixed on CPU uses the scan
+    path with polar_fast math (the kernel needs the real MXU)."""
+    y, b, s = make_anchor_batch(2, mode="redemod", seed=6)
+    phi_d = np.asarray(
+        admm_solve_fixed(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 12,
+                         1.0, ADMMOptions(g_update="fused_fast"))
+    )
+    phi_x = np.asarray(
+        admm_solve_fixed(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 12,
+                         1.0, ADMMOptions(g_update="polar_fast"))
+    )
+    np.testing.assert_allclose(phi_d, phi_x, rtol=1e-6)
