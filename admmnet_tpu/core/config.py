@@ -86,10 +86,11 @@ class ADMMOptions:
     # where VPU traffic could genuinely dominate.
     polar_bf16_store: bool = False
     # fused_fast only (kernels/fused_admm_fast.py: whole fixed-iteration
-    # solve in one Pallas call): instances per program and bisection depth
-    # of the in-kernel H-projection (16 passes the bench quality gates at
-    # the fast mode's phi-NMSE floor; 32 is the XLA-projection-equivalent)
-    fused_kblk: int = 8
+    # solve in one Pallas call): instances per program and the outer
+    # bisection depth of the in-kernel H-projection (the inner waterline is
+    # an exact 8-step Newton; see the kernel docstring for rejected faster
+    # root-finders)
+    fused_kblk: int = 16
     fused_proj_iters: int = 16
 
     def __post_init__(self):

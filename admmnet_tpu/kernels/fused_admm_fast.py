@@ -108,61 +108,66 @@ def _polar_psd_fast(Mr, Mi, K, hi_steps):
 
 
 def _project_sum_inf_block(t, A, lane_ok, outer_iters, inner_iters):
-    """Projection of (K, TILE) rows onto {A*||h||_inf + sum h <= 1}, all K
-    instances bisected together (vectorized ops.projections.project_sum_inf).
+    """Projection of (K, TILE) rows onto {A*||h||_inf + sum h <= 1}
+    (vectorized ops.projections.project_sum_inf), all K instances together.
+
+    Root-finding is the serial-latency hot spot of the fused solve (in-kernel
+    loops run once PER PROGRAM, not once per batch like XLA ops):
+
+    - outer (multiplier mu with f(mu) = A*||h(mu)||_inf + sum h(mu) - 1 = 0,
+      f strictly decreasing): plain bisection on [0, mu_hi].  Faster
+      root-finders were tried and REJECTED: secant/Illinois stagnates
+      against the loose mu_hi bound (f collapses from ~1e3 to ~-1 within a
+      tiny fraction of the bracket; measured total failures), and
+      unsafeguarded 2-D semismooth Newton on (mu, tau) cycles on ~1% of
+      random instances.  Bisection is the only variant whose error is a
+      guaranteed function of the step count.
+    - inner (prox of the scaled inf-norm): the prox is a CLAMP at the
+      l1-waterline tau solving sum max(|v| - tau, 0) = mu*A, found by
+      Newton from below.  s(tau) is convex piecewise linear decreasing with
+      slope -count(|v| > tau), so tau += (s - r)/count increases
+      monotonically to the exact root (validated to ~1e-15 vs a 100-step
+      bisection oracle); ``inner_iters`` ~ 8 replaces ~32 bisections, and
+      the clamp form makes h one select instead of the sign/rescale detour.
 
     ``A``: (K, 1); ``lane_ok``: (1, TILE) 0/1 mask of logical lanes.
     """
     t = t * lane_ok
+    n_lanes = jnp.sum(lane_ok)
 
     def f_of(h):  # (K, TILE) -> (K, 1)
         return A * jnp.max(jnp.abs(h), axis=-1, keepdims=True) + jnp.sum(
             h, axis=-1, keepdims=True
         )
 
-    def l1_project(v, radius):  # radius: (K, 1)
-        av = jnp.abs(v)
-        inside = jnp.sum(av, axis=-1, keepdims=True) <= radius
-
-        def body(_, lohi):
-            lo, hi = lohi
-            tau = 0.5 * (lo + hi)
-            s = jnp.sum(
-                jnp.maximum(av - tau, 0.0) * lane_ok, axis=-1, keepdims=True
-            )
-            big = s > radius
-            return jnp.where(big, tau, lo), jnp.where(big, hi, tau)
-
-        lo0 = jnp.zeros_like(radius)
-        hi0 = jnp.max(av, axis=-1, keepdims=True)
-        lo, hi = lo0, hi0
-        for _i in range(inner_iters):
-            lo, hi = body(_i, (lo, hi))
-        tau = 0.5 * (lo + hi)
-        x = jnp.maximum(av - tau, 0.0) * lane_ok
-        xs = jnp.sum(x, axis=-1, keepdims=True)
-        x = x * jnp.where(xs > 0, radius / jnp.maximum(xs, 1e-30), 0.0)
-        return jnp.where(inside, v, jnp.sign(v) * x)
-
     def h_of(mu):  # mu: (K, 1)
         v = (t - mu) * lane_ok
-        return (v - l1_project(v, mu * A)) * lane_ok
+        av = jnp.abs(v)
+        r = mu * A
+        total = jnp.sum(av, axis=-1, keepdims=True)
+        tau = jnp.maximum(0.0, (total - r) / n_lanes)
+        for _ in range(inner_iters):
+            s = jnp.sum(jnp.maximum(av - tau, 0.0) * lane_ok,
+                        axis=-1, keepdims=True)
+            cnt = jnp.maximum(
+                jnp.sum((av > tau).astype(jnp.float32) * lane_ok,
+                        axis=-1, keepdims=True),
+                1.0,
+            )
+            tau = tau + (s - r) / cnt
+        h = jnp.clip(v, -tau, tau) * lane_ok
+        # prox radius >= ||v||_1: the l1-projection returns v, so h = 0
+        return jnp.where(total <= r, 0.0, h)
 
     feasible = f_of(t) <= 1.0
-    mu_hi0 = jnp.maximum(
-        1.0, 0.5 * jnp.sum(t * t, axis=-1, keepdims=True) + 1.0
-    )
-
-    def body(_, lohi):
-        lo, hi = lohi
+    lo = jnp.zeros((t.shape[0], 1), jnp.float32)
+    hi = jnp.maximum(1.0, 0.5 * jnp.sum(t * t, axis=-1, keepdims=True) + 1.0)
+    for _ in range(outer_iters):
         mu = 0.5 * (lo + hi)
         viol = f_of(h_of(mu)) > 1.0
-        return jnp.where(viol, mu, lo), jnp.where(viol, hi, mu)
-
-    lo, hi = jnp.zeros_like(mu_hi0), mu_hi0
-    for _i in range(outer_iters):
-        lo, hi = body(_i, (lo, hi))
-    h = h_of(hi)
+        lo = jnp.where(viol, mu, lo)
+        hi = jnp.where(viol, hi, mu)
+    h = h_of(hi)  # hi endpoint is always feasible
     return jnp.where(feasible, t, h)
 
 
@@ -253,11 +258,11 @@ def admm_solve_fused_fast(
     num_iters: int = 100,
     rho: float = 1.0,
     lambda_val: float = 1.0,
-    kblk: int = 4,
+    kblk: int = 16,
     hi_steps: int = 0,
     interpret: bool = False,
-    outer_iters: int = 32,
-    inner_iters: int = 32,
+    outer_iters: int = 16,
+    inner_iters: int = 8,
 ) -> jnp.ndarray:
     """Fully-fused fast-schedule fixed-iteration solve; phi (B, n) complex.
 

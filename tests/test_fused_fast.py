@@ -13,11 +13,14 @@ from admmnet_tpu.solver import admm_solve_fixed
 
 def test_fused_fast_matches_scan_path():
     """Interpret mode runs the bf16 schedule at f32, exactly like the scan
-    path's off-TPU polar_fast fallback -> bitwise-level agreement."""
+    path's off-TPU polar_fast fallback.  At outer_iters=32 (the XLA
+    projection's bisection depth; the in-kernel inner Newton waterline is
+    MORE exact than XLA's 32-step inner bisection) the two solvers agree to
+    float32 accumulation noise."""
     y, b, s = make_anchor_batch(4, mode="redemod", seed=3)
     phi_f = np.asarray(
         admm_solve_fused_fast(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s),
-                              20, kblk=4, interpret=True)
+                              20, kblk=4, outer_iters=32, interpret=True)
     )
     phi_x = np.asarray(
         admm_solve_fixed(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 20,
@@ -42,14 +45,14 @@ def test_fused_fast_kblk_padding():
 
 
 def test_fused_fast_reduced_bisection_stays_on_floor():
-    """The production config (16-deep in-kernel bisection) must stay at the
+    """The production config (16-deep outer bisection) must stay at the
     fast mode's phi accuracy floor relative to the 32-deep reference."""
     y, b, s = make_anchor_batch(2, mode="redemod", seed=5)
     args = (jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 30)
     p16 = np.asarray(admm_solve_fused_fast(
-        *args, kblk=2, outer_iters=16, inner_iters=16, interpret=True))
+        *args, kblk=2, outer_iters=16, interpret=True))
     p32 = np.asarray(admm_solve_fused_fast(
-        *args, kblk=2, outer_iters=32, inner_iters=32, interpret=True))
+        *args, kblk=2, outer_iters=32, interpret=True))
     err = np.linalg.norm(p16 - p32, axis=-1) / np.linalg.norm(p32, axis=-1)
     assert err.max() < 0.05, err
 
