@@ -86,12 +86,19 @@ class ADMMOptions:
     # where VPU traffic could genuinely dominate.
     polar_bf16_store: bool = False
     # fused_fast only (kernels/fused_admm_fast.py: whole fixed-iteration
-    # solve in one Pallas call): instances per program and the outer
-    # bisection depth of the in-kernel H-projection (the inner waterline is
-    # an exact 8-step Newton; see the kernel docstring for rejected faster
-    # root-finders)
+    # solve in one Pallas call): instances per program and the root-finder
+    # depths of the in-kernel H-projection (outer = bisection on the
+    # constraint multiplier, inner = monotone Newton on the prox waterline;
+    # see the kernel docstring for rejected faster root-finders).  Defaults
+    # are the measured 2026-08-19 sweep knee: 6/5 scores NMSE-vs-eigh and
+    # detection identical to 16/8 on anchor and random-SNR gates while the
+    # solve runs 1.31x faster (342.5k vs 261k inst-iter/s at B=2048); the
+    # sweep edge (5/4, 351k) is left as margin.  kblk>16 needs (and gets)
+    # a raised Mosaic scoped-VMEM limit; 16 vs 32 vs 64 measured within
+    # noise once the root-finder is this shallow.
     fused_kblk: int = 16
-    fused_proj_iters: int = 16
+    fused_proj_iters: int = 6
+    fused_inner_iters: int = 5
 
     def __post_init__(self):
         if self.phi_update not in ("diag", "ref_dense"):

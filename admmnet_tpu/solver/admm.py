@@ -274,6 +274,7 @@ def admm_solve_fixed(
                 num_iters, opts.rho, lambda_val,
                 kblk=opts.fused_kblk, hi_steps=opts.polar_fast_hi_steps,
                 outer_iters=opts.fused_proj_iters,
+                inner_iters=opts.fused_inner_iters,
             )
             return out.reshape(*batch, n) if batch else out[0]
         import dataclasses as _dc
