@@ -86,19 +86,32 @@ class ADMMOptions:
     # where VPU traffic could genuinely dominate.
     polar_bf16_store: bool = False
     # fused_fast only (kernels/fused_admm_fast.py: whole fixed-iteration
-    # solve in one Pallas call): instances per program and the root-finder
-    # depths of the in-kernel H-projection (outer = bisection on the
-    # constraint multiplier, inner = monotone Newton on the prox waterline;
-    # see the kernel docstring for rejected faster root-finders).  Defaults
-    # are the measured 2026-08-19 sweep knee: 6/5 scores NMSE-vs-eigh and
-    # detection identical to 16/8 on anchor and random-SNR gates while the
-    # solve runs 1.31x faster (342.5k vs 261k inst-iter/s at B=2048); the
-    # sweep edge (5/4, 351k) is left as margin.  kblk>16 needs (and gets)
-    # a raised Mosaic scoped-VMEM limit; 16 vs 32 vs 64 measured within
-    # noise once the root-finder is this shallow.
+    # solve in one Pallas call).  Defaults are the measured 2026-08-19
+    # production point -- 670.8k inst-iter/s at B=2048 x 100 iters (3531x
+    # the reference), gated on 64-instance anchor detection (F1 1.0) and 64
+    # random-SNR scenes where F1 equals the exact-eigh control (0.8490) --
+    # reached by three accuracy-for-speed trades the outer ADMM provably
+    # tolerates (each gate-checked independently, see RESULTS.md 3.5):
+    #   fused_schedule: PSD sign-polynomial schedule.  "full" = the 6-step
+    #     POLAR_BF16_SCHEDULE (polar_fast parity, phi NMSE vs eigh ~7e-2);
+    #     "sched3"/"sched2" = shortened refits at larger eigenvalue
+    #     write-off (ops/projections.py).  "sched2" measured the same phi
+    #     NMSE band (~8e-2) and detection as "full" at 2/3 the matmuls.
+    #   fused_final_hi: run the closing |M| products at HIGHEST (~6 MXU
+    #     passes per matmul vs 1).  Off: one-pass noise ~4e-3 is far below
+    #     the schedule write-off; measured free on all gates.
+    #   fused_proj_iters / fused_inner_iters: root-finder depths of the
+    #     in-kernel H-projection (outer = bisection on the constraint
+    #     multiplier, inner = monotone Newton on the prox waterline; see
+    #     the kernel docstring for rejected faster root-finders).  Depth
+    #     ladder 16/8 -> 6/5 -> 4/3 measured flat on every quality gate.
+    # kblk>16 needs (and gets) a raised Mosaic scoped-VMEM limit; K=16
+    # measured best (K=8 -7%, K=32 -2%).
     fused_kblk: int = 16
-    fused_proj_iters: int = 6
-    fused_inner_iters: int = 5
+    fused_proj_iters: int = 4
+    fused_inner_iters: int = 3
+    fused_schedule: str = "sched2"  # "full" | "sched3" | "sched2"
+    fused_final_hi: bool = False
 
     def __post_init__(self):
         if self.phi_update not in ("diag", "ref_dense"):
@@ -106,6 +119,8 @@ class ADMMOptions:
         if self.g_update not in ("eigh", "polar", "polar_fast", "fused_fast",
                                  "newton_schulz", "ref_identity"):
             raise ValueError(f"unknown g_update {self.g_update!r}")
+        if self.fused_schedule not in ("full", "sched3", "sched2"):
+            raise ValueError(f"unknown fused_schedule {self.fused_schedule!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -48,14 +48,18 @@ def _mm(a, b, hi=False):
     )
 
 
-def _polar_psd_fast(Mr, Mi, K, hi_steps):
+def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
+                    final_hi=True):
     """Fast-schedule PSD step on K interleaved (TILE, TILE) plane pairs.
 
     Same math as kernels/polar.py mode="fast": bf16-stable box-constrained
     schedule at one-pass DEFAULT precision with per-step Hermitian
-    re-projection; the final |M| products run HIGHEST.
+    re-projection; the final |M| products run HIGHEST unless ``final_hi``
+    is off (a HIGHEST matmul is ~6 one-pass MXU passes, so with a short
+    schedule the 3 closing products dominate the pass count; their one-pass
+    noise ~4e-3 is far below the short schedules' eigenvalue write-off).
     """
-    schedule = POLAR_BF16_SCHEDULE + (
+    schedule = tuple(schedule) + (
         (POLAR_BF16_POLISH,) if hi_steps >= 1 else ()
     )
     nsteps = len(schedule)
@@ -91,9 +95,9 @@ def _polar_psd_fast(Mr, Mi, K, hi_steps):
             # low step (see kernels/polar.py for the stability argument)
             Xr = [0.5 * (Xr[k] + Xr[k].T) for k in range(K)]
             Xi = [0.5 * (Xi[k] - Xi[k].T) for k in range(K)]
-    t1 = [_mm(Xr[k], Mr[k], True) for k in range(K)]
-    t2 = [_mm(Xi[k], Mi[k], True) for k in range(K)]
-    t3 = [_mm(Xr[k] + Xi[k], Mr[k] + Mi[k], True) for k in range(K)]
+    t1 = [_mm(Xr[k], Mr[k], final_hi) for k in range(K)]
+    t2 = [_mm(Xi[k], Mi[k], final_hi) for k in range(K)]
+    t3 = [_mm(Xr[k] + Xi[k], Mr[k] + Mi[k], final_hi) for k in range(K)]
     Pr, Pi = [], []
     for k in range(K):
         Ar = t1[k] - t2[k]
@@ -134,8 +138,10 @@ def _project_sum_inf_block(t, A, lane_ok, outer_iters, inner_iters):
     -SNR gates): ADMM's inexact-prox tolerance makes shallow depths free --
     outer/inner 16/8 -> 261k, 10/6 -> 319k, 6/5 -> 342.5k inst-iter/s with
     phi-NMSE-vs-eigh FLAT (~7e-2, the bf16 write-off floor) and detection
-    F1 1.0 / tau RMSE ~0.004 at every depth; 5/4 (351k) also passed all
-    gates and is left as margin rather than taken.
+    F1 1.0 / tau RMSE ~0.004 at every depth.  With the short PSD schedules
+    the root-finder became the dominant non-matmul cost and 4/3 was also
+    gate-checked flat (random-scene F1 = the exact-eigh control); 4/3 is
+    the ADMMOptions production default.
 
     ``A``: (K, 1); ``lane_ok``: (1, TILE) 0/1 mask of logical lanes.
     """
@@ -182,6 +188,7 @@ def _fused_fast_kernel(
     yob_r_ref, yob_i_ref, w_ref, A_ref,
     phi_r_ref, phi_i_ref,
     *, n, kblk, num_iters, rho, lam_inv_sq, hi_steps, outer_iters, inner_iters,
+    schedule, final_hi,
 ):
     K = kblk
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
@@ -235,7 +242,7 @@ def _fused_fast_kernel(
             Mr.append(0.5 * (mr + mr.T))
             Mi.append(0.5 * (mi - mi.T))
 
-        Gr2, Gi2 = _polar_psd_fast(Mr, Mi, K, hi_steps)
+        Gr2, Gi2 = _polar_psd_fast(Mr, Mi, K, hi_steps, schedule, final_hi)
         Zr2 = [Zr[k] + rho * (Gr2[k] - Br[k]) for k in range(K)]
         Zi2 = [Zi[k] + rho * (Gi2[k] - Bi[k]) for k in range(K)]
         # phi carried so the output is the last iteration's phi (computed
@@ -256,7 +263,8 @@ def _fused_fast_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("num_iters", "rho", "lambda_val", "kblk", "hi_steps",
-                     "interpret", "outer_iters", "inner_iters"),
+                     "interpret", "outer_iters", "inner_iters", "schedule",
+                     "final_hi"),
 )
 def admm_solve_fused_fast(
     y: jnp.ndarray,
@@ -270,12 +278,22 @@ def admm_solve_fused_fast(
     interpret: bool = False,
     outer_iters: int = 6,
     inner_iters: int = 5,
+    schedule: tuple = POLAR_BF16_SCHEDULE,
+    final_hi: bool = True,
 ) -> jnp.ndarray:
     """Fully-fused fast-schedule fixed-iteration solve; phi (B, n) complex.
 
     Equivalent to admm_solve_fixed(..., ADMMOptions(g_update="polar_fast"))
     with the whole loop inside one Pallas call.  The batch is zero-padded to
     a kblk multiple (zero instances solve to zero phi harmlessly).
+
+    This function's own defaults are the CONSERVATIVE parity point (full
+    6-step schedule, HIGHEST final products, 6/5 root-finder) that tracks
+    the scan-path polar_fast solve; the production speed point lives in
+    ADMMOptions (fused_schedule="sched2", final_hi off, 4/3 depths --
+    670.8k inst-iter/s, every detection gate equal to the exact solver;
+    see core/config.py and RESULTS.md 3.5) and is applied by
+    admm_solve_fixed's dispatch.
     """
     B0, n = y.shape
     if n + 1 > TILE:
@@ -303,6 +321,8 @@ def admm_solve_fused_fast(
         hi_steps=hi_steps,
         outer_iters=outer_iters,
         inner_iters=inner_iters,
+        schedule=tuple(schedule),
+        final_hi=final_hi,
     )
     row = pl.BlockSpec(
         (kblk, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -310,7 +330,7 @@ def admm_solve_fused_fast(
     scal = pl.BlockSpec(
         (kblk, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
     )
-    nsteps = len(POLAR_BF16_SCHEDULE) + (1 if hi_steps else 0)
+    nsteps = len(schedule) + (1 if hi_steps else 0)
     # Scoped-VMEM stack usage is ~0.95 MB per interleaved instance (measured:
     # K=32 wants 29.1 MB); the default 16 MB limit only fits K<=16.  Raise it
     # explicitly for wider interleaves, leave the default untouched otherwise

@@ -265,7 +265,17 @@ def admm_solve_fixed(
             from admmnet_tpu.kernels.fused_admm_fast import (
                 admm_solve_fused_fast,
             )
+            from admmnet_tpu.ops.projections import (
+                POLAR_BF16_SCHED2,
+                POLAR_BF16_SCHED3,
+                POLAR_BF16_SCHEDULE,
+            )
 
+            sched = {
+                "full": POLAR_BF16_SCHEDULE,
+                "sched3": POLAR_BF16_SCHED3,
+                "sched2": POLAR_BF16_SCHED2,
+            }[opts.fused_schedule]
             yb = y.reshape(-1, n) if batch else y[None]
             out = admm_solve_fused_fast(
                 yb, jnp.broadcast_to(b, yb.shape),
@@ -275,6 +285,7 @@ def admm_solve_fixed(
                 kblk=opts.fused_kblk, hi_steps=opts.polar_fast_hi_steps,
                 outer_iters=opts.fused_proj_iters,
                 inner_iters=opts.fused_inner_iters,
+                schedule=sched, final_hi=opts.fused_final_hi,
             )
             return out.reshape(*batch, n) if batch else out[0]
         import dataclasses as _dc

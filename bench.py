@@ -28,7 +28,9 @@ NMSE-exact (1.5e-6) mode; BENCH_G=polar_fast the per-step fast kernel.
 
 Env knobs: BENCH_BATCH (default 2048), BENCH_ITERS (100), BENCH_G (psd mode:
 fused_fast | polar_fast | polar | newton_schulz | eigh), BENCH_FAST_HI
-(0|1: append the HIGHEST polish step), BENCH_REPEATS (default 2).
+(0|1: append the HIGHEST polish step), BENCH_SCHED (fused_fast PSD schedule:
+full | sched3 | sched2; default = ADMMOptions production default sched2),
+BENCH_REPEATS (default 2).
 """
 
 import json
@@ -53,7 +55,9 @@ def main():
     G_MODE = os.environ.get("BENCH_G", "fused_fast")
     REPEATS = int(os.environ.get("BENCH_REPEATS", 2))
     FAST_HI = int(os.environ.get("BENCH_FAST_HI", 0))
-    opts = ADMMOptions(g_update=G_MODE, polar_fast_hi_steps=FAST_HI)
+    SCHED = os.environ.get("BENCH_SCHED")  # fused_fast: full | sched3 | sched2
+    kw = {"fused_schedule": SCHED} if SCHED else {}
+    opts = ADMMOptions(g_update=G_MODE, polar_fast_hi_steps=FAST_HI, **kw)
 
     y, b, sigma = make_anchor_batch(B, mode="redemod", seed=0)
 
@@ -120,6 +124,10 @@ def main():
                 "batch": B,
                 "iters": ITERS,
                 "g_update": G_MODE,
+                **(
+                    {"fused_schedule": opts.fused_schedule}
+                    if G_MODE == "fused_fast" else {}
+                ),
                 "compile_s": round(compile_s, 1),
                 "best_run_s": round(best, 3),
                 "quality_f1": round(stats["f1"], 4),

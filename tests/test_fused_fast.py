@@ -57,6 +57,37 @@ def test_fused_fast_reduced_bisection_stays_on_floor():
     assert err.max() < 0.05, err
 
 
+def test_fused_fast_short_schedules_stay_near_full():
+    """The shortened detection-grade PSD schedules (larger eigenvalue
+    write-off; production default sched2 via ADMMOptions.fused_schedule)
+    must stay within the measured deviation band of the full schedule --
+    interpret mode reproduces the write-off effect exactly (it is a
+    property of the polynomial, not of bf16 noise; measured 0.057-0.065
+    scale-invariant NMSE at these settings, TPU end-to-end detection gates
+    in RESULTS.md 3.5)."""
+    from admmnet_tpu.ops.projections import (
+        POLAR_BF16_SCHED2,
+        POLAR_BF16_SCHED3,
+    )
+
+    y, b, s = make_anchor_batch(4, mode="redemod", seed=3)
+    args = (jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 30)
+    ref = np.asarray(admm_solve_fused_fast(*args, kblk=4, interpret=True))
+
+    def si_nmse(a, bb):
+        num = np.sum(np.conj(bb) * a, -1, keepdims=True)
+        den = np.sum(np.abs(bb) ** 2, -1, keepdims=True)
+        proj = num / den * bb
+        return np.max(np.sum(np.abs(a - proj) ** 2, -1)
+                      / np.sum(np.abs(a) ** 2, -1))
+
+    for sched in (POLAR_BF16_SCHED3, POLAR_BF16_SCHED2):
+        phi = np.asarray(admm_solve_fused_fast(
+            *args, kblk=4, interpret=True, outer_iters=4, inner_iters=3,
+            schedule=sched, final_hi=False))
+        assert si_nmse(phi, ref) < 0.2
+
+
 def test_solver_dispatch_fused_fast_falls_back_off_tpu():
     """g_update="fused_fast" through admm_solve_fixed on CPU uses the scan
     path with polar_fast math (the kernel needs the real MXU)."""
