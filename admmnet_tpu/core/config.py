@@ -97,6 +97,8 @@ class ADMMOptions:
     #     "sched3"/"sched2" = shortened refits at larger eigenvalue
     #     write-off (ops/projections.py).  "sched2" measured the same phi
     #     NMSE band (~8e-2) and detection as "full" at 2/3 the matmuls.
+    #     1-step schedules FAIL the gates (anchor F1 0.875-0.995, random
+    #     0.60-0.85) -- sched2 is the measured quality cliff edge.
     #   fused_final_hi: run the closing |M| products at HIGHEST (~6 MXU
     #     passes per matmul vs 1).  Off: one-pass noise ~4e-3 is far below
     #     the schedule write-off; measured free on all gates.
