@@ -141,3 +141,13 @@ def test_newton_schulz_mode_close_to_eigh_mode():
     from admmnet_tpu.peaks import scale_invariant_nmse
 
     assert scale_invariant_nmse(np.asarray(phi_ns), np.asarray(phi_e)) < 1e-3
+
+
+def test_admm_options_validate_fused_schedule():
+    import pytest
+
+    with pytest.raises(ValueError, match="fused_schedule"):
+        ADMMOptions(fused_schedule="sched1")
+    # the three valid rungs construct fine
+    for s in ("full", "sched3", "sched2"):
+        assert ADMMOptions(fused_schedule=s).fused_schedule == s
