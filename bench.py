@@ -26,11 +26,11 @@ from the eigh solve by ~1e-1 NMSE (the reported field) exactly like the
 per-step polar_fast mode whose math it fuses.  BENCH_G=polar gives the
 NMSE-exact (1.5e-6) mode; BENCH_G=polar_fast the per-step fast kernel.
 
-Env knobs: BENCH_BATCH (default 2048), BENCH_ITERS (100), BENCH_G (psd mode:
+Env knobs: BENCH_BATCH (default 8192), BENCH_ITERS (100), BENCH_G (psd mode:
 fused_fast | polar_fast | polar | newton_schulz | eigh), BENCH_FAST_HI
 (0|1: append the HIGHEST polish step), BENCH_SCHED (fused_fast PSD schedule:
 full | sched3 | sched2; default = ADMMOptions production default sched2),
-BENCH_REPEATS (default 2).
+BENCH_REPEATS (default 3).
 """
 
 import json
@@ -50,10 +50,13 @@ def main():
     from admmnet_tpu.solver import admm_solve_fixed
     from admmnet_tpu.utils import cjit, to_host
 
-    B = int(os.environ.get("BENCH_BATCH", 2048))
+    # 8192 instances: the north-star protocol is ~10k batched instances;
+    # per-program dispatch/tail overhead amortizes with batch (measured
+    # 599k/646k/692k/709k iter/s at B=1k/2k/4k/8k, RESULTS.md 1).
+    B = int(os.environ.get("BENCH_BATCH", 8192))
     ITERS = int(os.environ.get("BENCH_ITERS", 100))
     G_MODE = os.environ.get("BENCH_G", "fused_fast")
-    REPEATS = int(os.environ.get("BENCH_REPEATS", 2))
+    REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
     FAST_HI = int(os.environ.get("BENCH_FAST_HI", 0))
     SCHED = os.environ.get("BENCH_SCHED")  # fused_fast: full | sched3 | sched2
     kw = {"fused_schedule": SCHED} if SCHED else {}
