@@ -28,8 +28,14 @@ def measure_throughput(
     opts: Optional[ADMMOptions] = None,
     repeats: int = 2,
     seed: int = 0,
+    total_batch: Optional[int] = None,
 ) -> float:
-    """Instance-iterations/s of the batched solve over an n-device mesh."""
+    """Instance-iterations/s of the batched solve over an n-device mesh.
+
+    ``total_batch`` switches from weak scaling (B = batch_per_device * n,
+    the pod protocol) to strong scaling (fixed B sharded over n devices --
+    the right shape on oversubscribed virtual-device CPU meshes, where weak
+    scaling measures host-core contention, not sharding overhead)."""
     import jax.numpy as jnp
 
     from admmnet_tpu.data.anchor import make_anchor_batch
@@ -40,7 +46,9 @@ def measure_throughput(
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     opts = opts or ADMMOptions(g_update="polar")
-    B = batch_per_device * n_devices
+    B = total_batch if total_batch is not None else batch_per_device * n_devices
+    if B % n_devices:
+        raise ValueError(f"total_batch {B} not divisible by {n_devices} devices")
     y, b, sigma = make_anchor_batch(B, mode="redemod", seed=seed)
     mesh = data_mesh(n_devices)
 
@@ -64,20 +72,29 @@ def scaling_report(
     batch_per_device: int = 512,
     iters: int = 20,
     opts: Optional[ADMMOptions] = None,
+    total_batch: Optional[int] = None,
 ) -> List[dict]:
-    """Throughput + per-chip efficiency table across device counts."""
+    """Throughput + per-chip efficiency table across device counts.
+
+    Weak scaling (default): efficiency = throughput / (n * base_per_device);
+    strong scaling (``total_batch``): efficiency = throughput / base, i.e.
+    fixed work should keep total throughput flat (the host cores, not the
+    mesh, are the roof on a virtual-device CPU run)."""
     rows = []
     base = None
     for n in device_counts:
-        tput = measure_throughput(n, batch_per_device, iters, opts)
+        tput = measure_throughput(
+            n, batch_per_device, iters, opts, total_batch=total_batch
+        )
         if base is None:
-            base = tput / device_counts[0]
+            base = tput / (1 if total_batch is not None else device_counts[0])
+        eff = tput / base if total_batch is not None else tput / (n * base)
         rows.append(
             {
                 "devices": n,
                 "throughput_iters_per_s": tput,
                 "per_device": tput / n,
-                "efficiency": tput / (n * base),
+                "efficiency": eff,
             }
         )
     return rows

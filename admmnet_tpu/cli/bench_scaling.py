@@ -14,6 +14,9 @@ def build_parser():
     p.add_argument("--devices", type=int, nargs="+", default=None,
                    help="device counts to sweep (default: 1..all)")
     p.add_argument("--batch-per-device", type=int, default=512)
+    p.add_argument("--total-batch", type=int, default=None,
+                   help="strong scaling: fixed total batch sharded over the "
+                        "devices (default: weak scaling, batch-per-device*n)")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--g-update", default="polar")
     p.add_argument("--force-cpu", type=int, default=None, metavar="N",
@@ -41,7 +44,7 @@ def main(argv=None):
     )
     rows = scaling_report(
         counts, args.batch_per_device, args.iters,
-        ADMMOptions(g_update=args.g_update),
+        ADMMOptions(g_update=args.g_update), total_batch=args.total_batch,
     )
     if args.json:
         print(json.dumps(rows))

@@ -125,6 +125,7 @@ class PrefetchLoader:
         seed: int = 0,
         n_threads: int = 4,
         prefetch: int = 2,
+        drop_remainder: bool = False,
     ):
         if not ensure_built():
             raise RuntimeError("native loader unavailable; use iterate_batches")
@@ -133,6 +134,7 @@ class PrefetchLoader:
         self.seed = seed
         self.n_threads = n_threads
         self.prefetch = prefetch
+        self.drop_remainder = drop_remainder
         self._float_keys = [
             k for k, v in data.items() if v.dtype.kind in "fc"
         ]
@@ -167,7 +169,11 @@ class PrefetchLoader:
             order = shuffle_indices(self.n, self.seed)
         else:
             order = np.arange(self.n, dtype=np.int64)
-        starts = list(range(0, self.n, self.batch_size))
+        stop = (
+            self.n - (self.n % self.batch_size)
+            if self.drop_remainder else self.n
+        )
+        starts = list(range(0, stop, self.batch_size))
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
 
         def producer():

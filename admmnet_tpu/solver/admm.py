@@ -260,8 +260,28 @@ def admm_solve_fixed(
 
     if opts.g_update == "fused_fast":
         # whole solve in one Pallas call (kernels/fused_admm_fast.py);
-        # falls back to the scan path + polar_fast off-TPU
-        if jax.default_backend() == "tpu" and n + 1 <= 128 and len(batch) <= 1:
+        # falls back to the scan path + polar_fast when the kernel can't
+        # apply -- LOUDLY, so a benchmark misconfiguration can't silently
+        # produce a wrong-mode number.
+        fused_ok = (
+            jax.default_backend() == "tpu" and n + 1 <= 128 and len(batch) <= 1
+        )
+        if not fused_ok:
+            import warnings
+
+            reason = (
+                f"backend={jax.default_backend()!r} (needs 'tpu')"
+                if jax.default_backend() != "tpu"
+                else f"lifted size {n + 1} > 128"
+                if n + 1 > 128
+                else f"batch rank {len(batch)} > 1 (flatten leading dims)"
+            )
+            warnings.warn(
+                f"g_update='fused_fast' falling back to the scan path with "
+                f"g_update='polar_fast': {reason}",
+                stacklevel=2,
+            )
+        if fused_ok:
             from admmnet_tpu.kernels.fused_admm_fast import (
                 admm_solve_fused_fast,
             )

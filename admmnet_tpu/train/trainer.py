@@ -13,8 +13,16 @@ Parity targets:
 TPU-first deltas: one jitted train step (no .item() graph breaks inside the
 epoch), batched metric computation, complex-safe host boundary via cjit, and
 a ``mesh`` option that shards the batch axis data-parallel over the devices
-(gradients reduce via psum emitted by jit-with-sharding; the reference is
+(gradients reduce via the psum emitted by jit-with-sharding; the reference is
 strictly single-device, SURVEY.md 2.2).
+
+Mesh semantics: params/opt_state are replicated, every batch's leading axis
+is sharded over the mesh's ``data`` axis, and eval metrics are computed
+on-device (replicated scalars), so the same loop runs single-device,
+multi-device, and multi-process (``jax.distributed``) -- checkpoint/metric
+file writes are gated on process 0.  Batches must divide evenly over the
+``data`` axis, so remainder minibatches are dropped when a mesh is given
+(pass a batch size that divides the split sizes to use every sample).
 """
 
 from __future__ import annotations
@@ -130,6 +138,51 @@ def _matched_rmse_pair(tau_pred, f_pred, tau_true, f_true, L_true):
     return float(np.mean(tau_rmse)), float(np.mean(f_rmse))
 
 
+def _detection_counts_dev(conf, L_true, thr):
+    """jnp version of :func:`_detection_counts`; replicated int scalars, so
+    the counts work under mesh sharding and multi-process without fetching
+    per-sample arrays to host."""
+    detected = jnp.sum(conf > thr, axis=-1)
+    L = L_true.astype(jnp.int32)
+    tp = jnp.sum(jnp.minimum(L, detected) * ((L > 0) & (detected > 0)))
+    fp = jnp.sum(jnp.maximum(detected - L, 0))
+    fn = jnp.sum(jnp.maximum(L - detected, 0))
+    return tp, fp, fn
+
+
+def _masked_rmse_dev(pred, true, L_true):
+    """jnp version of :func:`_masked_rmse` (same per-batch mean semantics)."""
+    L_max = pred.shape[-1]
+    mask = jnp.arange(L_max)[None, :] < L_true[:, None]
+    cnt = jnp.maximum(L_true, 1)
+    mse = jnp.sum(mask * (pred - true) ** 2, axis=-1) / cnt
+    rmse = jnp.sqrt(mse)
+    sel = L_true > 0
+    return jnp.sum(rmse * sel) / jnp.maximum(jnp.sum(sel), 1)
+
+
+def _matched_rmse_pair_dev(tau_pred, f_pred, tau_true, f_true, L_true):
+    """jnp version of :func:`_matched_rmse_pair` (best-assignment RMSEs)."""
+    import itertools
+
+    L_max = tau_pred.shape[-1]
+    perms = jnp.asarray(list(itertools.permutations(range(L_max))))  # (P, L)
+    mask = (jnp.arange(L_max)[None, :] < L_true[:, None]).astype(tau_pred.dtype)
+    cnt = jnp.maximum(L_true, 1).astype(tau_pred.dtype)
+    tau_p = tau_pred[:, perms]  # (B, P, L)
+    f_p = f_pred[:, perms]
+    tau_mse = jnp.sum(mask[:, None, :] * (tau_p - tau_true[:, None, :]) ** 2,
+                      axis=-1) / cnt[:, None]
+    f_mse = jnp.sum(mask[:, None, :] * (f_p - f_true[:, None, :]) ** 2,
+                    axis=-1) / cnt[:, None]
+    best = jnp.argmin(tau_mse + f_mse, axis=-1)  # (B,)
+    tau_rmse = jnp.sqrt(jnp.take_along_axis(tau_mse, best[:, None], 1))[:, 0]
+    f_rmse = jnp.sqrt(jnp.take_along_axis(f_mse, best[:, None], 1))[:, 0]
+    sel = L_true > 0
+    denom = jnp.maximum(jnp.sum(sel), 1)
+    return jnp.sum(tau_rmse * sel) / denom, jnp.sum(f_rmse * sel) / denom
+
+
 def train_admmnet(
     mcfg: ModelConfig,
     tcfg: TrainConfig,
@@ -139,16 +192,21 @@ def train_admmnet(
     workdir: str = "runs/admmnet",
     log_fn: Callable[[str], None] = print,
     init_from: Optional[str] = None,
+    mesh=None,
 ) -> TrainResult:
     """``init_from``: warm-start matching submodules (e.g. the unrolled
     "trunk") from another run's checkpoint -- typically a trained
     PhiEstADMMNet, mirroring the reference's deployment of the phi net
     (main_for_net.py:99-104) -- before e2e fine-tuning.  Ignored when the
-    workdir already has a checkpoint to resume."""
+    workdir already has a checkpoint to resume.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` (e.g. ``parallel.data_mesh()``)
+    for data-parallel training: batch axis sharded over the ``data`` mesh
+    axis, params replicated, grads psum-reduced by jit."""
     model = ADMMNet(cfg=mcfg)
     return _train_loop(
         model, mcfg, tcfg, train_data, val_data, test_data, workdir, log_fn,
-        mode="e2e", init_from=init_from,
+        mode="e2e", init_from=init_from, mesh=mesh,
     )
 
 
@@ -160,26 +218,30 @@ def train_phinet(
     test_data: Optional[Dict[str, np.ndarray]] = None,
     workdir: str = "runs/phinet",
     log_fn: Callable[[str], None] = print,
+    mesh=None,
 ) -> TrainResult:
     if "phi" not in train_data:
         raise ValueError("phi labels required; generate dataset with with_phi=True")
     model = PhiEstADMMNet(cfg=mcfg)
     return _train_loop(
         model, mcfg, tcfg, train_data, val_data, test_data, workdir, log_fn,
-        mode="phi",
+        mode="phi", mesh=mesh,
     )
 
 
 def build_steps(
     model, tx, mode: str, assignment: str = "slot",
-    spectral_weight: float = 0.0,
+    spectral_weight: float = 0.0, conf_threshold: float = 0.5,
 ):
     """Build (train_step, eval_step) pure functions for ``model``.
 
     ``mode``: "e2e" (ADMMNet + BasicANMLoss) or "phi" (PhiEstADMMNet +
     PhiAlignmentLoss).  train_step: (params, opt_state, batch, dropout_key)
     -> (params, opt_state, total_loss); eval_step: (params, batch) ->
-    (total_loss, aux).  Shared by the single-device trainer, the mesh
+    (total_loss, metrics) where metrics are device SCALARS (per-batch
+    tau/f RMSE under ``assignment`` matching plus tp/fp/fn detection counts
+    for "e2e"; empty for "phi") so eval works identically on one device, a
+    sharded mesh, and multi-process runs.  Shared by the trainer, the mesh
     dry-run, and the graft entry.
     """
 
@@ -216,22 +278,39 @@ def build_steps(
 
     def eval_step(p, batch):
         total, (parts, aux) = loss_and_metrics(p, batch, None, True)
-        return total, aux
+        metrics = {}
+        if mode == "e2e":
+            if assignment == "perm":
+                t_rm, f_rm = _matched_rmse_pair_dev(
+                    aux["tau"], aux["f"], batch["tau"], batch["f"],
+                    batch["L_true"],
+                )
+            else:
+                t_rm = _masked_rmse_dev(aux["tau"], batch["tau"], batch["L_true"])
+                f_rm = _masked_rmse_dev(aux["f"], batch["f"], batch["L_true"])
+            tp, fp, fn = _detection_counts_dev(
+                aux["conf"], batch["L_true"], conf_threshold
+            )
+            metrics = {"tau_rmse": t_rm, "f_rmse": f_rm,
+                       "tp": tp, "fp": fp, "fn": fn}
+        return total, metrics
 
     return train_step, eval_step
 
 
-def _batches(data, batch_size, shuffle, seed):
+def _batches(data, batch_size, shuffle, seed, drop_remainder=False):
     """Minibatch stream: native C++ prefetch loader when available
     (data/loader.py), else the numpy iterator."""
     try:
         from admmnet_tpu.data.loader import PrefetchLoader, native_available
 
         if native_available():
-            return PrefetchLoader(data, batch_size, shuffle=shuffle, seed=seed)
+            return PrefetchLoader(data, batch_size, shuffle=shuffle, seed=seed,
+                                  drop_remainder=drop_remainder)
     except Exception:
         pass
-    return iterate_batches(data, batch_size, shuffle=shuffle, seed=seed)
+    return iterate_batches(data, batch_size, shuffle=shuffle, seed=seed,
+                           drop_remainder=drop_remainder)
 
 
 def _graft_params(params, donor, log_fn):
@@ -263,13 +342,33 @@ def _graft_params(params, donor, log_fn):
     return out
 
 
+class _NullMetrics:
+    """No-op metrics sink for non-main processes (mesh/multi-process runs)."""
+
+    def log(self, *a, **k):
+        pass
+
+    def write_history(self, h):
+        pass
+
+    def write_test_result(self, m):
+        pass
+
+
 def _train_loop(
     model, mcfg, tcfg, train_data, val_data, test_data, workdir, log_fn, mode,
-    init_from=None,
+    init_from=None, mesh=None,
 ):
+    is_main = jax.process_index() == 0
     workdir = Path(workdir)
-    workdir.mkdir(parents=True, exist_ok=True)
-    metrics = MetricsWriter(workdir)
+    if is_main:
+        workdir.mkdir(parents=True, exist_ok=True)
+        metrics = MetricsWriter(workdir)
+    else:
+        metrics = _NullMetrics()
+
+        def log_fn(msg):  # noqa: F811 -- quiet non-main processes
+            del msg
     n_train = train_data["y"].shape[0]
     steps_per_epoch = max(1, n_train // tcfg.batch_size)
     tx = make_optimizer(tcfg, steps_per_epoch)
@@ -287,19 +386,36 @@ def _train_loop(
     train_step, eval_step = build_steps(
         model, tx, mode, assignment=assignment,
         spectral_weight=getattr(tcfg, "spectral_weight", 0.0),
+        conf_threshold=tcfg.conf_threshold,
     )
 
-    def batch_rmses(aux, batch):
-        if assignment == "perm":
-            return _matched_rmse_pair(
-                aux["tau"], aux["f"], batch["tau"], batch["f"], batch["L_true"]
-            )
-        return (
-            _masked_rmse(aux["tau"], batch["tau"], batch["L_true"]),
-            _masked_rmse(aux["f"], batch["f"], batch["L_true"]),
-        )
-    train_step_j = device_retry(cjit(train_step), log_fn=log_fn)
-    eval_step_j = device_retry(cjit(eval_step), log_fn=log_fn)
+    # mesh data parallelism: params/opt_state replicated, batch axis sharded
+    # over 'data', grads psum-reduced by the partitioner; remainder
+    # minibatches are dropped so shards stay equal-sized.
+    jit_train_kw, jit_eval_kw = {}, {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from admmnet_tpu.parallel.mesh import replicate, shard_batch
+
+        rep = NamedSharding(mesh, P())
+        jit_train_kw = {"out_shardings": (rep, rep, rep)}
+        jit_eval_kw = {"out_shardings": (rep, rep)}
+
+        def place_batch(b):
+            return shard_batch(b, mesh)
+
+        def place_state(p, o):
+            return replicate(p, mesh), replicate(o, mesh)
+    else:
+        def place_batch(b):
+            return b
+
+        def place_state(p, o):
+            return p, o
+
+    train_step_j = device_retry(cjit(train_step, **jit_train_kw), log_fn=log_fn)
+    eval_step_j = device_retry(cjit(eval_step, **jit_eval_kw), log_fn=log_fn)
 
     # resume (reference train.py:136-145)
     start_epoch, best_val, patience_ct = 0, float("inf"), 0
@@ -320,6 +436,7 @@ def _train_loop(
         best_val = meta["best_val_loss"]
         history = meta.get("history", history)
         log_fn(f"resumed from epoch {start_epoch}")
+    params, opt_state = place_state(params, opt_state)
 
     sched_probe = sgdr_schedule(
         tcfg.lr, steps_per_epoch, tcfg.epochs, tcfg.sgdr_t0, tcfg.sgdr_t_mult,
@@ -334,24 +451,25 @@ def _train_loop(
         tr_losses = []
         for bi, batch in enumerate(
             _batches(train_data, tcfg.batch_size, shuffle=True,
-                     seed=tcfg.seed + epoch)
+                     seed=tcfg.seed + epoch, drop_remainder=mesh is not None)
         ):
             dk = jax.random.fold_in(rng, step)
-            params, opt_state, total = train_step_j(params, opt_state, batch, dk)
+            params, opt_state, total = train_step_j(
+                params, opt_state, place_batch(batch), dk
+            )
             tr_losses.append(total)
             step += 1
         tr_loss = float(np.mean([float(x) for x in to_host(tr_losses)])) if tr_losses else 0.0
 
         # validation
         va_losses, tau_es, f_es = [], [], []
-        for batch in _batches(val_data, tcfg.batch_size, shuffle=False, seed=0):
-            total, aux = eval_step_j(params, batch)
+        for batch in _batches(val_data, tcfg.batch_size, shuffle=False, seed=0,
+                              drop_remainder=mesh is not None):
+            total, m = eval_step_j(params, place_batch(batch))
             va_losses.append(float(total))
             if mode == "e2e":
-                aux = to_host(aux)
-                t_rm, f_rm = batch_rmses(aux, batch)
-                tau_es.append(t_rm)
-                f_es.append(f_rm)
+                tau_es.append(float(m["tau_rmse"]))
+                f_es.append(float(m["f_rmse"]))
         va_loss = float(np.mean(va_losses)) if va_losses else 0.0
 
         history["train_loss"].append(tr_loss)
@@ -374,12 +492,13 @@ def _train_loop(
         if va_loss < best_val:
             best_val = va_loss
             patience_ct = 0
-            save_checkpoint(
-                workdir,
-                {"params": to_host(params), "opt_state": to_host(opt_state)},
-                {"epoch": epoch, "best_val_loss": best_val, "history": history,
-                 "mode": mode},
-            )
+            if is_main:  # process-0-gated IO (multi-process runs)
+                save_checkpoint(
+                    workdir,
+                    {"params": to_host(params), "opt_state": to_host(opt_state)},
+                    {"epoch": epoch, "best_val_loss": best_val,
+                     "history": history, "mode": mode},
+                )
         else:
             patience_ct += 1
         metrics.write_history(history)
@@ -387,27 +506,35 @@ def _train_loop(
             log_fn(f"early stop at epoch {epoch + 1}")
             break
 
-    # reload best for testing (reference train.py:336-338)
+    # reload best for testing (reference train.py:336-338); the checkpoint is
+    # written by process 0 -- multi-process runs require a SHARED workdir so
+    # every process reloads the same bytes.  The barrier keeps the reload
+    # symmetric: without it a faster non-main process can reach this point
+    # before process 0 finished writing, see a missing checkpoint, and skip
+    # the (collective) device_put that replicates the restored params --
+    # deadlocking process 0.
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("admmnet_final_ckpt")
     restored = restore_checkpoint(workdir, {"params": params, "opt_state": opt_state})
     if restored is not None:
-        params = restored[0]["params"]
+        params, _ = place_state(restored[0]["params"], opt_state)
 
     test_metrics: Dict[str, float] = {}
     if test_data is not None:
         te_losses, tau_es, f_es = [], [], []
         tp = fp = fn = 0
-        for batch in _batches(test_data, tcfg.batch_size, shuffle=False, seed=0):
-            total, aux = eval_step_j(params, batch)
+        for batch in _batches(test_data, tcfg.batch_size, shuffle=False, seed=0,
+                              drop_remainder=mesh is not None):
+            total, m = eval_step_j(params, place_batch(batch))
             te_losses.append(float(total))
             if mode == "e2e":
-                aux = to_host(aux)
-                t_rm, f_rm = batch_rmses(aux, batch)
-                tau_es.append(t_rm)
-                f_es.append(f_rm)
-                a, b_, c = _detection_counts(
-                    aux["conf"], batch["L_true"], tcfg.conf_threshold
-                )
-                tp, fp, fn = tp + a, fp + b_, fn + c
+                tau_es.append(float(m["tau_rmse"]))
+                f_es.append(float(m["f_rmse"]))
+                tp += int(m["tp"])
+                fp += int(m["fp"])
+                fn += int(m["fn"])
         precision = tp / (tp + fp) if tp + fp else 0.0
         recall = tp / (tp + fn) if tp + fn else 0.0
         f1 = (

@@ -156,7 +156,9 @@ def plot_dataset_statistics(data: Dict[str, np.ndarray], out_path: str):
     axes[1, 0].set_title("Doppler distribution")
     axes[1, 0].set_xlabel("f (norm)")
 
-    axes[1, 1].hist(np.asarray(data["ser"]) * 100.0, bins=20, alpha=0.7)
+    # ser is stored already in percent (data/generator.py stores
+    # 100*mean(symbol errors)); plot as-is.
+    axes[1, 1].hist(np.asarray(data["ser"]), bins=20, alpha=0.7)
     axes[1, 1].set_title("Symbol-error-rate distribution")
     axes[1, 1].set_xlabel("SER (%)")
 
