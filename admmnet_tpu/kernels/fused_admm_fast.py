@@ -49,7 +49,7 @@ def _mm(a, b, hi=False):
 
 
 def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
-                    final_hi=True):
+                    final_hi=True, resym_out=True):
     """Fast-schedule PSD step on K interleaved (TILE, TILE) plane pairs.
 
     Same math as kernels/polar.py mode="fast": bf16-stable box-constrained
@@ -106,8 +106,14 @@ def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
         Ai = 0.5 * (Ai - Ai.T)
         pr = 0.5 * (Mr[k] + Ar)
         pi = 0.5 * (Mi[k] + Ai)
-        Pr.append(0.5 * (pr + pr.T))
-        Pi.append(0.5 * (pi - pi.T))
+        if resym_out:
+            # only needed when M itself is not exactly Hermitian (the lean
+            # kernel assembles it exactly so and passes resym_out=False:
+            # 0.5*(p + p.T) of an exactly-symmetric p is a bitwise no-op)
+            pr = 0.5 * (pr + pr.T)
+            pi = 0.5 * (pi - pi.T)
+        Pr.append(pr)
+        Pi.append(pi)
     return Pr, Pi
 
 
@@ -182,6 +188,128 @@ def _project_sum_inf_block(t, A, lane_ok, outer_iters, inner_iters):
         hi = jnp.where(viol, hi, mu)
     h = h_of(hi)  # hi endpoint is always feasible
     return jnp.where(feasible, t, h)
+
+
+def _fused_fast_kernel_lean(
+    yob_r_ref, yob_i_ref, w_ref, A_ref,
+    phi_r_ref, phi_i_ref,
+    *, n, kblk, num_iters, rho, lam_inv_sq, hi_steps, outer_iters, inner_iters,
+    schedule, final_hi,
+):
+    """Lean fused solve: the list kernel with its measured glue costs removed.
+
+    Slope-calibrated subtraction profile of the original list kernel (B=2048,
+    K=16, marginal cost per 2048-instance iteration after removing the ~65 ms
+    fixed per-call dispatch/tunnel cost): assembly 0.82 ms of 2.38 total, M
+    re-symmetrization 0.15, Frobenius norms 0.14, Z-update 0.09, two schedule
+    steps 0.67, root-finder 0.10, corner/diag reads ~0, loop carry ~0.  This
+    variant removes the three dominated pieces by construction:
+
+    - **B is never materialized**: Z' = Z + rho (G' - B) with B = M + Z/rho
+      collapses to Z' = rho (G' - M), so only M is assembled (directly,
+      including the -Z/rho term) and the Z-update is one subtract.
+    - **One phi transpose per iteration instead of 2K**: the corner column
+      of each block needs phi[k] as a (TILE, 1) column; the list kernel paid
+      2K tiny (1,TILE)->(TILE,1) relayouts per iteration (the dominant
+      assembly cost); here phi (K, TILE) is transposed ONCE and per-block
+      columns are static slices.
+    - **No M/P re-symmetrization**: every assembly term is symmetric or
+      antisymmetric bit-for-bit and elementwise ops preserve that exactly,
+      so M (and P = (M + |M|)/2 after the |M| products are symmetrized) is
+      exactly Hermitian by construction; the 4 transposes the list kernel
+      spent there were numerical no-ops.
+    - **rho == 1 static folds** (the production default): Z/rho and
+      rho-scaled updates compile to plain adds/subs.
+
+    A selector-matmul "stacked" layout (all glue as one-hot (K, K*TILE)
+    matmuls on (K*TILE, TILE) planes) was tried and REJECTED: skinny 16-row
+    matmuls waste the 128x128 systolic array, measured 1.65x SLOWER than the
+    list kernel end to end.
+    """
+    K = kblk
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+    lane_ok = (lane < n).astype(jnp.float32)
+    eye = jnp.eye(TILE, dtype=jnp.float32)
+    col_is_n = (lane == n).astype(jnp.float32)  # (1, TILE)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+    row_is_n = (sub == n).astype(jnp.float32)  # (TILE, 1)
+    # constant corner term lam^-2 e_n e_n^T: hoisted, one plane per program
+    C_lam = (row_is_n * col_is_n) * lam_inv_sq
+    rho1 = rho == 1.0
+
+    def zscale(z):  # Z / rho, folded away at the rho=1 production point
+        return z if rho1 else z * (1.0 / rho)
+
+    yob_r = yob_r_ref[:, 0, :] * lane_ok  # (K, TILE)
+    yob_i = yob_i_ref[:, 0, :] * lane_ok
+    w = w_ref[:, 0, :] * lane_ok
+    A = jnp.stack([A_ref[k, 0, 0] for k in range(K)]).reshape(K, 1)
+
+    def body(_, carry):
+        Gr, Gi, Zr, Zi, _pr, _pi = carry
+        # corner column via the Hermitian row read (G[0:n, n] = conj(G[n, :]))
+        g_r = jnp.concatenate([Gr[k][n : n + 1, :] for k in range(K)], axis=0)
+        g_i = -jnp.concatenate([Gi[k][n : n + 1, :] for k in range(K)], axis=0)
+        z_r = jnp.concatenate([Zr[k][n : n + 1, :] for k in range(K)], axis=0)
+        z_i = -jnp.concatenate([Zi[k][n : n + 1, :] for k in range(K)], axis=0)
+        g_r, g_i, z_r, z_i = (v * lane_ok for v in (g_r, g_i, z_r, z_i))
+
+        phi_r = w * (yob_r + (g_r if rho1 else rho * g_r) + z_r)  # (K, TILE)
+        phi_i = w * (yob_i + (g_i if rho1 else rho * g_i) + z_i)
+
+        diag = jnp.concatenate(
+            [
+                jnp.sum((Gr[k] + zscale(Zr[k])) * eye, axis=0, keepdims=True)
+                for k in range(K)
+            ],
+            axis=0,
+        )  # (K, TILE)
+        h = _project_sum_inf_block(
+            diag * lane_ok, A, lane_ok, outer_iters, inner_iters
+        )
+
+        # all corner columns from ONE small transpose: column k of phi^T
+        phiT_r = phi_r.T  # (TILE, K)
+        phiT_i = phi_i.T
+        Mr, Mi = [], []
+        for k in range(K):
+            pr = phi_r[k : k + 1, :]
+            pi = phi_i[k : k + 1, :]
+            pc_r = jax.lax.slice(phiT_r, (0, k), (TILE, k + 1))  # (TILE, 1)
+            pc_i = jax.lax.slice(phiT_i, (0, k), (TILE, k + 1))
+            # M = B - Z/rho assembled directly; exactly Hermitian (each term
+            # is symmetric/antisymmetric bit-for-bit)
+            Mr.append(
+                eye * h[k : k + 1, :] + row_is_n * pr + pc_r * col_is_n
+                + C_lam - zscale(Zr[k])
+            )
+            Mi.append(
+                row_is_n * (-pi) + pc_i * col_is_n - zscale(Zi[k])
+            )
+
+        Gr2, Gi2 = _polar_psd_fast(
+            Mr, Mi, K, hi_steps, schedule, final_hi, resym_out=False
+        )
+        # Z' = Z + rho (G' - B) = rho (G' - M) since B = M + Z/rho
+        if rho1:
+            Zr2 = [Gr2[k] - Mr[k] for k in range(K)]
+            Zi2 = [Gi2[k] - Mi[k] for k in range(K)]
+        else:
+            Zr2 = [rho * (Gr2[k] - Mr[k]) for k in range(K)]
+            Zi2 = [rho * (Gi2[k] - Mi[k]) for k in range(K)]
+        # phi carried so the output is the last iteration's phi (computed
+        # from the pre-update G/Z), matching admm_solve_fixed
+        return Gr2, Gi2, Zr2, Zi2, phi_r, phi_i
+
+    zeros = [jnp.zeros((TILE, TILE), jnp.float32) for _ in range(K)]
+    zrow = jnp.zeros((K, TILE), jnp.float32)
+    _, _, _, _, phi_r, phi_i = jax.lax.fori_loop(
+        0, num_iters,
+        body,
+        (zeros, list(zeros), list(zeros), list(zeros), zrow, zrow),
+    )
+    phi_r_ref[:, 0, :] = phi_r
+    phi_i_ref[:, 0, :] = phi_i
 
 
 def _fused_fast_kernel(
@@ -264,7 +392,7 @@ def _fused_fast_kernel(
     jax.jit,
     static_argnames=("num_iters", "rho", "lambda_val", "kblk", "hi_steps",
                      "interpret", "outer_iters", "inner_iters", "schedule",
-                     "final_hi"),
+                     "final_hi", "layout"),
 )
 def admm_solve_fused_fast(
     y: jnp.ndarray,
@@ -280,6 +408,7 @@ def admm_solve_fused_fast(
     inner_iters: int = 5,
     schedule: tuple = POLAR_BF16_SCHEDULE,
     final_hi: bool = True,
+    layout: str = "lean",
 ) -> jnp.ndarray:
     """Fully-fused fast-schedule fixed-iteration solve; phi (B, n) complex.
 
@@ -311,8 +440,11 @@ def admm_solve_fused_fast(
     A = (2.0 * jnp.sqrt(float(n)) * sigma + sigma**2)
     A = jnp.pad(A, ((0, B - B0),), constant_values=1.0).reshape(B, 1, 1)
 
+    if layout not in ("lean", "lists"):
+        raise ValueError(f"unknown layout {layout!r}")
     kernel = functools.partial(
-        _fused_fast_kernel,
+        _fused_fast_kernel_lean if layout == "lean"
+        else _fused_fast_kernel,
         n=n,
         kblk=kblk,
         num_iters=num_iters,

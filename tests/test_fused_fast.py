@@ -101,3 +101,22 @@ def test_solver_dispatch_fused_fast_falls_back_off_tpu():
                          1.0, ADMMOptions(g_update="polar_fast"))
     )
     np.testing.assert_allclose(phi_d, phi_x, rtol=1e-6)
+
+
+def test_fused_fast_lean_layout_matches_lists():
+    """The lean kernel (B-free Z-update, single phi transpose, no M/P
+    re-symmetrization, rho==1 folds) is the production layout; it must match
+    the original list-layout kernel to f32 accumulation noise -- including
+    the rho != 1 path, where Z' = rho*(G' - M) replaces Z + rho*(G' - B)."""
+    y, b, s = make_anchor_batch(6, mode="redemod", seed=6)
+    args = (jnp.asarray(y), jnp.asarray(b), jnp.asarray(s))
+    for rho in (1.0, 1.7):
+        kw = dict(num_iters=15, kblk=3, rho=rho, outer_iters=4,
+                  inner_iters=3, final_hi=False, interpret=True)
+        p_lists = np.asarray(
+            admm_solve_fused_fast(*args, layout="lists", **kw))
+        p_lean = np.asarray(
+            admm_solve_fused_fast(*args, layout="lean", **kw))
+        err = (np.linalg.norm(p_lean - p_lists, axis=-1)
+               / np.linalg.norm(p_lists, axis=-1))
+        assert err.max() < 5e-5, (rho, err)
