@@ -114,6 +114,11 @@ class ADMMOptions:
     fused_inner_iters: int = 3
     fused_schedule: str = "sched2"  # "full" | "sched3" | "sched2"
     fused_final_hi: bool = False
+    # fused_fast kernel layout: "lean" (production; B never materialized,
+    # one phi transpose, no re-symmetrization) or "lists" (the validated
+    # first layout, kept reachable as an escape hatch should a
+    # hardware-only divergence surface in the lean invariants).
+    fused_layout: str = "lean"
 
     def __post_init__(self):
         if self.phi_update not in ("diag", "ref_dense"):
@@ -123,6 +128,8 @@ class ADMMOptions:
             raise ValueError(f"unknown g_update {self.g_update!r}")
         if self.fused_schedule not in ("full", "sched3", "sched2"):
             raise ValueError(f"unknown fused_schedule {self.fused_schedule!r}")
+        if self.fused_layout not in ("lean", "lists"):
+            raise ValueError(f"unknown fused_layout {self.fused_layout!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -238,7 +238,9 @@ def _fused_fast_kernel_lean(
     rho1 = rho == 1.0
 
     def zscale(z):  # Z / rho, folded away at the rho=1 production point
-        return z if rho1 else z * (1.0 / rho)
+        # true divide (not reciprocal-multiply) so the rho != 1 path is
+        # bitwise the list kernel's Zr[k]/rho
+        return z if rho1 else z / rho
 
     yob_r = yob_r_ref[:, 0, :] * lane_ok  # (K, TILE)
     yob_i = yob_i_ref[:, 0, :] * lane_ok

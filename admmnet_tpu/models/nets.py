@@ -91,7 +91,20 @@ class _Trunk(nn.Module):
 
 class PhiEstADMMNet(nn.Module):
     """Trunk-only net regressing the dual polynomial phi
-    (reference admm_net.py:724-764)."""
+    (reference admm_net.py:724-764).
+
+    ``ADMM_LR_MODULES`` declares which top-level submodules form the
+    unrolled-ADMM parameter group that trains at ``admm_lr_scale * lr``.
+    BOTH reference trainers scale that group by 0.5 (train.py:107-121 and
+    trainPhi.py:105-113: ``{'params': admm_params, 'lr': config['lr']*0.5}``);
+    for this model the trunk is every parameter, so phi training runs at an
+    effective ``0.5 * lr`` -- exactly like the reference, where every
+    PhiEstADMMNet param matches the phiLayers/hLayers/gLayers/zLayers
+    prefixes.  Declared next to the ``name="trunk"`` binding so a rename
+    updates both (the trainer raises if the declaration matches nothing).
+    """
+
+    ADMM_LR_MODULES = ("trunk",)
 
     cfg: ModelConfig
 
@@ -105,7 +118,14 @@ class ADMMNet(nn.Module):
 
     ``cfg.head`` selects the head: "attention" (reference-parity direct
     regression) or "spectrum" (differentiable coarse-to-fine spectral
-    search; see models/peak_head.py)."""
+    search; see models/peak_head.py).
+
+    ``ADMM_LR_MODULES``: the trunk trains at ``admm_lr_scale * lr``, the
+    peak head at full lr (reference train.py:107-121); see PhiEstADMMNet.
+    The optional learned-sensing matrix lives inside the trunk and shares
+    its LR group (no referent: the reference has no sensing matrix)."""
+
+    ADMM_LR_MODULES = ("trunk",)
 
     cfg: ModelConfig
 

@@ -26,9 +26,13 @@ def phi_nmse(phi_hat, phi_ref) -> float:
 def scale_invariant_nmse(phi_hat, phi_ref) -> float:
     """min_c ||c*phi_hat - phi_ref||^2 / ||phi_ref||^2 (peak positions are
     invariant to complex scaling of phi, so this is the fair spectrum
-    comparison)."""
-    a = np.asarray(phi_hat).ravel()
-    b = np.asarray(phi_ref).ravel()
+    comparison).
+
+    Accumulates in float64: the ``1 - |ip|^2/(na*nb)`` subtraction saturates
+    to exactly 0.0 below ~1e-7 in complex64, which overstated near-exact
+    agreement (e.g. the polar-vs-eigh pin is ~1.5e-6, not 0)."""
+    a = np.asarray(phi_hat).ravel().astype(np.complex128)
+    b = np.asarray(phi_ref).ravel().astype(np.complex128)
     ip = np.vdot(a, b)
     na = np.vdot(a, a).real
     nb = np.vdot(b, b).real

@@ -306,6 +306,7 @@ def admm_solve_fixed(
                 outer_iters=opts.fused_proj_iters,
                 inner_iters=opts.fused_inner_iters,
                 schedule=sched, final_hi=opts.fused_final_hi,
+                layout=opts.fused_layout,
             )
             return out.reshape(*batch, n) if batch else out[0]
         import dataclasses as _dc

@@ -49,12 +49,45 @@ from admmnet_tpu.utils.host import cjit, to_host
 from admmnet_tpu.utils.retry import device_retry
 
 
-def _param_label(path, _leaf) -> str:
-    """ADMM trunk params get the scaled-down LR group (train.py:107-121)."""
-    return "admm" if any(getattr(p, "key", None) == "trunk" for p in path) else "other"
+def param_group_labels(params, admm_modules: Tuple[str, ...]):
+    """Label every param leaf "admm" (scaled LR) or "other" (full LR).
+
+    BOTH reference trainers put the unrolled-ADMM-layer params in a
+    0.5x-lr group: train.py:107-121 AND trainPhi.py:105-113 build
+    ``param_groups.append({'params': admm_params, 'lr': config['lr'] * 0.5})``
+    from the ``phiLayers/hLayers/gLayers/zLayers`` name prefixes.  For
+    ``PhiEstADMMNet`` every parameter matches those prefixes, so the
+    reference's phi training runs the WHOLE model at an effective
+    ``0.5 * lr`` -- reproduced here because the trunk is the whole model.
+
+    ``admm_modules`` comes from the model class's ``ADMM_LR_MODULES``
+    declaration (models/nets.py) rather than a literal name in the trainer,
+    so a module rename updates both sides together; an ``admm_modules``
+    entry that matches no param subtree raises instead of silently
+    reshuffling LR groups.
+    """
+    admm_modules = tuple(admm_modules)
+
+    def label(path, _leaf) -> str:
+        keys = {getattr(p, "key", None) for p in path}
+        return "admm" if keys & set(admm_modules) else "other"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    present = set(jax.tree_util.tree_leaves(labels))
+    if admm_modules and "admm" not in present:
+        top = sorted(params.get("params", params))
+        raise ValueError(
+            f"ADMM LR-group modules {admm_modules} matched no params; "
+            f"model has top-level modules {top}"
+        )
+    return labels
 
 
-def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int):
+def make_optimizer(
+    tcfg: TrainConfig,
+    steps_per_epoch: int,
+    admm_modules: Tuple[str, ...] = ("trunk",),
+):
     sched = sgdr_schedule(
         tcfg.lr, steps_per_epoch, tcfg.epochs, tcfg.sgdr_t0, tcfg.sgdr_t_mult,
         tcfg.lr_min,
@@ -69,9 +102,7 @@ def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int):
         optax.clip_by_global_norm(tcfg.grad_clip),
         optax.multi_transform(
             {"admm": adamw(tcfg.admm_lr_scale), "other": adamw(1.0)},
-            param_labels=lambda params: jax.tree_util.tree_map_with_path(
-                _param_label, params
-            ),
+            param_labels=lambda params: param_group_labels(params, admm_modules),
         ),
     )
 
@@ -371,7 +402,10 @@ def _train_loop(
             del msg
     n_train = train_data["y"].shape[0]
     steps_per_epoch = max(1, n_train // tcfg.batch_size)
-    tx = make_optimizer(tcfg, steps_per_epoch)
+    tx = make_optimizer(
+        tcfg, steps_per_epoch,
+        admm_modules=getattr(type(model), "ADMM_LR_MODULES", ("trunk",)),
+    )
 
     rng = jax.random.PRNGKey(tcfg.seed)
     init_b = {k: v[:2] for k, v in train_data.items()}

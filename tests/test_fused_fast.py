@@ -120,3 +120,29 @@ def test_fused_fast_lean_layout_matches_lists():
         err = (np.linalg.norm(p_lean - p_lists, axis=-1)
                / np.linalg.norm(p_lists, axis=-1))
         assert err.max() < 5e-5, (rho, err)
+
+
+def test_solver_dispatch_passes_fused_layout(monkeypatch):
+    """ADMMOptions.fused_layout reaches the kernel from the production
+    dispatch (escape hatch back to the validated "lists" layout)."""
+    import jax
+
+    import admmnet_tpu.kernels.fused_admm_fast as ff
+    import admmnet_tpu.solver.admm as solver_mod
+
+    seen = {}
+
+    def fake(y, b, s, num_iters, rho, lam, **kw):
+        seen.update(kw)
+        return jnp.zeros_like(y)
+
+    monkeypatch.setattr(ff, "admm_solve_fused_fast", fake)
+    monkeypatch.setattr(
+        solver_mod.jax, "default_backend", lambda: "tpu", raising=True
+    )
+    y, b, s = make_anchor_batch(2, mode="redemod", seed=5)
+    opts = ADMMOptions(g_update="fused_fast", fused_layout="lists")
+    admm_solve_fixed(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 3,
+                     1.0, opts)
+    assert seen["layout"] == "lists"
+    assert seen["kblk"] == opts.fused_kblk

@@ -92,3 +92,23 @@ def test_match_peaks_counts():
     )
     assert stats["tp"] == 1 and stats["fp"] == 1 and stats["fn"] == 1
     assert 0 < stats["tau_rmse"] < 0.05
+
+
+def test_scale_invariant_nmse_resolves_tiny_errors_in_float64():
+    """An orthogonal perturbation of relative size eps has si-NMSE ~= eps^2;
+    complex64 accumulation saturates 1 - |ip|^2/(na*nb) to exactly 0.0 below
+    ~1e-7, so the metric must accumulate in float64 (VERDICT r2 weak-2)."""
+    from admmnet_tpu.peaks.metrics import scale_invariant_nmse
+
+    rng = np.random.default_rng(0)
+    a = (rng.normal(size=64) + 1j * rng.normal(size=64)).astype(np.complex64)
+    q = rng.normal(size=64) + 1j * rng.normal(size=64)
+    a64 = a.astype(np.complex128)
+    q -= (np.vdot(a64, q) / np.vdot(a64, a64)) * a64
+    eps = 1e-5
+    b = (a64 + eps * np.linalg.norm(a64) / np.linalg.norm(q) * q).astype(
+        np.complex64
+    )
+    v = scale_invariant_nmse(b, a)
+    assert 0.5 * eps**2 < v < 2.0 * eps**2, v
+    assert scale_invariant_nmse(a, a) == 0.0

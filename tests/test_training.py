@@ -244,3 +244,56 @@ def test_matched_rmse_pair_empty_scenes():
     z = np.zeros((B, L), np.float32)
     t_rm, f_rm = _matched_rmse_pair(z, z, z, z, np.zeros(B, np.int32))
     assert t_rm == 0.0 and f_rm == 0.0
+
+
+def test_param_group_lrs_match_reference():
+    """Pin the actual per-group learning rates for BOTH training modes.
+
+    Reference: train.py:107-121 AND trainPhi.py:105-113 put the
+    unrolled-ADMM-layer params in a 0.5x-lr group
+    (``{'params': admm_params, 'lr': config['lr'] * 0.5}``).  For
+    PhiEstADMMNet every parameter matches the grouping prefixes, so the
+    reference phi trainer runs the WHOLE model at an effective 0.5 * lr;
+    the e2e trainer runs the trunk at 0.5 * lr and the peak head at lr.
+
+    The first AdamW step with uniform grads and zero weight decay moves
+    every param by ~group_lr (bias-corrected m/sqrt(v) = 1), so the step
+    magnitude IS the group LR.  Global-norm clipping rescales all grads by
+    one constant, which cancels in m/sqrt(v).
+    """
+    from admmnet_tpu.models import ADMMNet, PhiEstADMMNet
+    from admmnet_tpu.train.trainer import make_optimizer, param_group_labels
+
+    lr = 5e-3
+    tcfg = TrainConfig(lr=lr, weight_decay=0.0, admm_lr_scale=0.5, epochs=10)
+    mcfg = ModelConfig(spec=SPEC, num_layers=2, hidden_dim=16)
+    d = _dataset(2, seed=0)
+    key = jax.random.PRNGKey(0)
+
+    def first_step_lrs(model):
+        params = model.init(key, d["y"], d["b"], d["sigma"])
+        tx = make_optimizer(tcfg, 10, admm_modules=type(model).ADMM_LR_MODULES)
+        state = tx.init(params)
+        grads = jax.tree.map(lambda p: np.ones_like(p), params)
+        updates, _ = tx.update(grads, state, params)
+        return jax.tree.map(lambda u: float(np.max(np.abs(u))), updates)
+
+    # e2e: trunk at 0.5*lr, peak head at lr (reference train.py:107-121)
+    ups = first_step_lrs(ADMMNet(cfg=mcfg))["params"]
+    for leaf in jax.tree.leaves(ups["trunk"]):
+        assert abs(leaf - 0.5 * lr) < 1e-4 * lr, leaf
+    for leaf in jax.tree.leaves(ups["peak_head"]):
+        assert abs(leaf - lr) < 1e-4 * lr, leaf
+
+    # phi: the trunk is the whole model -> everything at 0.5*lr
+    # (reference trainPhi.py:105-113: all params match the admm prefixes)
+    ups = first_step_lrs(PhiEstADMMNet(cfg=mcfg))["params"]
+    for leaf in jax.tree.leaves(ups):
+        assert abs(leaf - 0.5 * lr) < 1e-4 * lr, leaf
+
+    # a renamed trunk must fail LOUDLY, not silently reshuffle LR groups
+    params = ADMMNet(cfg=mcfg).init(key, d["y"], d["b"], d["sigma"])
+    renamed = {"params": {("new_" + k if k == "trunk" else k): v
+                          for k, v in params["params"].items()}}
+    with pytest.raises(ValueError, match="matched no params"):
+        param_group_labels(renamed, ("trunk",))
