@@ -23,6 +23,9 @@ def build_parser():
                    help="e2e peak head: attention (reference parity) or "
                         "spectrum (differentiable spectral search)")
     p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--patience", type=int, default=10,
+                   help="early-stop patience (reference train.py:133); set "
+                        "large to run through SGDR restarts")
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--lr", type=float, default=None,
                    help="default 1e-3 (e2e) / 5e-3 (phi, reference trainPhi.py:31)")
@@ -64,6 +67,7 @@ def main(argv=None):
     tcfg = TrainConfig(
         batch_size=args.batch_size, epochs=args.epochs, lr=lr, seed=args.seed,
         assignment=args.assignment, spectral_weight=sw,
+        patience=args.patience,
     )
     Path(args.workdir).mkdir(parents=True, exist_ok=True)
     (Path(args.workdir) / "config.json").write_text(
