@@ -33,6 +33,10 @@ def build_parser():
     p.add_argument("--g-update", default="newton_schulz")
     p.add_argument("--g-mode", default="eigh", choices=["eigh", "chebyshev"],
                    help="net GLayer mode (--what net / e2e)")
+    p.add_argument("--cheb-degree", type=int, default=48)
+    p.add_argument("--cheb-precision", default="highest",
+                   choices=["highest", "default"],
+                   help="Clenshaw matmul precision (default = one-pass bf16)")
     p.add_argument("--head", default="spectrum",
                    choices=["attention", "spectrum"],
                    help="peak head (--what e2e)")
@@ -103,7 +107,9 @@ def main(argv=None):
 
         e2e = args.what == "e2e"
         mcfg = ModelConfig(spec=ProblemSpec(), num_layers=args.layers,
-                           g_mode=args.g_mode, head=args.head)
+                           g_mode=args.g_mode, head=args.head,
+                       cheb_degree=args.cheb_degree,
+                       cheb_precision=args.cheb_precision)
         model = (ADMMNet if e2e else PhiEstADMMNet)(cfg=mcfg)
         params = cjit(lambda k, y, b, s: model.init(k, y, b, s))(
             jax.random.PRNGKey(0), y[:1], b[:1], sigma[:1]

@@ -21,6 +21,10 @@ def build_parser():
     p.add_argument("--ckpt", required=True)
     p.add_argument("--num-layers", type=int, default=10)
     p.add_argument("--g-mode", default="eigh", choices=["eigh", "chebyshev"])
+    p.add_argument("--cheb-degree", type=int, default=48)
+    p.add_argument("--cheb-precision", default="highest",
+                   choices=["highest", "default"],
+                   help="Clenshaw matmul precision (default = one-pass bf16)")
     p.add_argument("--head", default="attention",
                    choices=["attention", "spectrum"],
                    help="e2e ADMMNet peak head variant")
@@ -31,6 +35,8 @@ def build_parser():
                         "direct (tau, f, conf) predictions with "
                         "position-matched F1 instead of phi peak search")
     p.add_argument("--conf-threshold", type=float, default=0.5)
+    p.add_argument("--learned-sensing", action="store_true",
+                   help="checkpoint has the trainable sensing matrix")
     p.add_argument("--json", action="store_true")
     return p
 
@@ -55,7 +61,10 @@ def _eval_e2e(args):
     test = {k: v[:n] for k, v in test.items()}
 
     mcfg = ModelConfig(spec=spec, num_layers=args.num_layers,
-                       g_mode=args.g_mode, head=args.head)
+                       g_mode=args.g_mode, head=args.head,
+                       cheb_degree=args.cheb_degree,
+                       cheb_precision=args.cheb_precision,
+                       learned_sensing=args.learned_sensing)
     model = ADMMNet(cfg=mcfg)
     params = cjit(lambda k, y, b, s: model.init(k, y, b, s))(
         jax.random.PRNGKey(0), test["y"][:2], test["b"][:2], test["sigma"][:2]
@@ -116,7 +125,10 @@ def main(argv=None):
     test = {k: v[:n] for k, v in test.items()}
 
     mcfg = ModelConfig(spec=spec, num_layers=args.num_layers,
-                       g_mode=args.g_mode, head=args.head)
+                       g_mode=args.g_mode, head=args.head,
+                       cheb_degree=args.cheb_degree,
+                       cheb_precision=args.cheb_precision,
+                       learned_sensing=args.learned_sensing)
     model = PhiEstADMMNet(cfg=mcfg)
     params = cjit(lambda k, y, b, s: model.init(k, y, b, s))(
         jax.random.PRNGKey(0), test["y"][:2], test["b"][:2], test["sigma"][:2]

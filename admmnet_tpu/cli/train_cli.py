@@ -38,6 +38,13 @@ def build_parser():
     p.add_argument("--init-from", default=None,
                    help="warm-start matching submodules (e.g. the trunk) "
                         "from this checkpoint dir (e2e mode only)")
+    p.add_argument("--learned-sensing", action="store_true",
+                   help="enable the trainable measurement/calibration matrix "
+                        "(north-star config #5; models/nets.py _SensingMatrix)")
+    p.add_argument("--reset-best", action="store_true",
+                   help="on resume, forget the checkpoint's best-val/patience "
+                        "(curriculum stage switch: losses are not comparable "
+                        "across datasets)")
     return p
 
 
@@ -59,7 +66,8 @@ def main(argv=None):
     test = gen.load_split("test")
 
     mcfg = ModelConfig(spec=spec, num_layers=args.num_layers,
-                       g_mode=args.g_mode, head=args.head)
+                       g_mode=args.g_mode, head=args.head,
+                       learned_sensing=args.learned_sensing)
     lr = args.lr if args.lr is not None else (5e-3 if args.phi else 1e-3)
     sw = args.spectral_weight
     if sw is None:
@@ -67,7 +75,7 @@ def main(argv=None):
     tcfg = TrainConfig(
         batch_size=args.batch_size, epochs=args.epochs, lr=lr, seed=args.seed,
         assignment=args.assignment, spectral_weight=sw,
-        patience=args.patience,
+        patience=args.patience, reset_best=args.reset_best,
     )
     Path(args.workdir).mkdir(parents=True, exist_ok=True)
     (Path(args.workdir) / "config.json").write_text(

@@ -119,6 +119,9 @@ class ADMMOptions:
     # first layout, kept reachable as an escape hatch should a
     # hardware-only divergence surface in the lean invariants).
     fused_layout: str = "lean"
+    # fori_loop unroll factor of the lean kernel's iteration loop (1 = no
+    # unrolling; >1 trades compile time/code size for loop-carry overhead)
+    fused_unroll: int = 1
 
     def __post_init__(self):
         if self.phi_update not in ("diag", "ref_dense"):
@@ -202,6 +205,10 @@ class ModelConfig:
     # no eigendecomposition -- see ops/chebyshev.py).
     g_mode: str = "eigh"
     cheb_degree: int = 48
+    # Clenshaw matmul precision for g_mode="chebyshev": "highest" (6 MXU
+    # passes per f32 matmul) or "default" (ONE bf16 pass + per-step Hermitian
+    # re-projection -- the polar-kernel trade; quality-gate before deploying)
+    cheb_precision: str = "highest"
     # Peak head for the e2e ADMMNet: "attention" (reference parity,
     # admm_net.py:494-630: direct (tau, f) regression) or "spectrum"
     # (extension: differentiable coarse-to-fine spectral search with a
@@ -236,6 +243,12 @@ class TrainConfig:
     # spectral_contrast_loss); needed to train the trunk under the spectrum
     # peak head, whose argmax positions carry no cross-cell gradient
     spectral_weight: float = 0.0
+    # On resume, forget the checkpoint's best_val_loss/patience (keep params
+    # + epoch).  Needed for curriculum stage switches: losses are not
+    # comparable across datasets, so a harder stage would otherwise never
+    # checkpoint and early-stop against the easier stage's best (measured:
+    # the round-3 from-scratch SNR-curriculum run runs/spec50k).
+    reset_best: bool = False
     seed: int = 0
 
 

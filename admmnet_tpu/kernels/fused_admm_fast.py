@@ -49,7 +49,8 @@ def _mm(a, b, hi=False):
 
 
 def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
-                    final_hi=True, resym_out=True):
+                    final_hi=True, resym_out=True, fixed_inv=None,
+                    skip_finals=False):
     """Fast-schedule PSD step on K interleaved (TILE, TILE) plane pairs.
 
     Same math as kernels/polar.py mode="fast": bf16-stable box-constrained
@@ -63,13 +64,16 @@ def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
         (POLAR_BF16_POLISH,) if hi_steps >= 1 else ()
     )
     nsteps = len(schedule)
-    inv = [
-        1.0
-        / jnp.maximum(
-            jnp.sqrt(jnp.sum(Mr[k] * Mr[k]) + jnp.sum(Mi[k] * Mi[k])), 1e-30
-        )
-        for k in range(K)
-    ]
+    if fixed_inv is not None:  # profiling ablation "norm" only
+        inv = [jnp.float32(fixed_inv)] * K
+    else:
+        inv = [
+            1.0
+            / jnp.maximum(
+                jnp.sqrt(jnp.sum(Mr[k] * Mr[k]) + jnp.sum(Mi[k] * Mi[k])), 1e-30
+            )
+            for k in range(K)
+        ]
     Xr = [Mr[k] * inv[k] for k in range(K)]
     Xi = [Mi[k] * inv[k] for k in range(K)]
     eye = jnp.eye(TILE, dtype=jnp.float32)
@@ -95,6 +99,8 @@ def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
             # low step (see kernels/polar.py for the stability argument)
             Xr = [0.5 * (Xr[k] + Xr[k].T) for k in range(K)]
             Xi = [0.5 * (Xi[k] - Xi[k].T) for k in range(K)]
+    if skip_finals:  # profiling ablation "finals" only
+        return Xr, Xi
     t1 = [_mm(Xr[k], Mr[k], final_hi) for k in range(K)]
     t2 = [_mm(Xi[k], Mi[k], final_hi) for k in range(K)]
     t3 = [_mm(Xr[k] + Xi[k], Mr[k] + Mi[k], final_hi) for k in range(K)]
@@ -194,7 +200,7 @@ def _fused_fast_kernel_lean(
     yob_r_ref, yob_i_ref, w_ref, A_ref,
     phi_r_ref, phi_i_ref,
     *, n, kblk, num_iters, rho, lam_inv_sq, hi_steps, outer_iters, inner_iters,
-    schedule, final_hi,
+    schedule, final_hi, ablate="none", loop_unroll=1,
 ):
     """Lean fused solve: the list kernel with its measured glue costs removed.
 
@@ -225,6 +231,17 @@ def _fused_fast_kernel_lean(
     matmuls on (K*TILE, TILE) planes) was tried and REJECTED: skinny 16-row
     matmuls waste the 128x128 systolic array, measured 1.65x SLOWER than the
     list kernel end to end.
+
+    ``ablate`` (PROFILING ONLY -- output is mathematically wrong for any
+    value but "none"): removes one component per variant so its marginal
+    cost can be measured by subtraction (the list kernel's profile method,
+    RESULTS.md 3.5).  When ablating, the caller adds a debug output of the
+    final G corner rows so the plane-update chain stays live even when phi
+    no longer depends on it (otherwise Mosaic could dead-code-eliminate the
+    loop body being measured).  Variants: "corner" (corner-row reads),
+    "diag" (diagonal extraction), "h" (root-finder), "norm" (per-iteration
+    Frobenius normalization), "assemble" (M assembly glue), "zupd"
+    (Z-update subtracts), "finals" (closing |M| products).
     """
     K = kblk
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
@@ -249,51 +266,68 @@ def _fused_fast_kernel_lean(
 
     def body(_, carry):
         Gr, Gi, Zr, Zi, _pr, _pi = carry
-        # corner column via the Hermitian row read (G[0:n, n] = conj(G[n, :]))
-        g_r = jnp.concatenate([Gr[k][n : n + 1, :] for k in range(K)], axis=0)
-        g_i = -jnp.concatenate([Gi[k][n : n + 1, :] for k in range(K)], axis=0)
-        z_r = jnp.concatenate([Zr[k][n : n + 1, :] for k in range(K)], axis=0)
-        z_i = -jnp.concatenate([Zi[k][n : n + 1, :] for k in range(K)], axis=0)
-        g_r, g_i, z_r, z_i = (v * lane_ok for v in (g_r, g_i, z_r, z_i))
+        if ablate == "corner":
+            g_r, g_i, z_r, z_i = _pr, _pi, _pr, _pi
+        else:
+            # corner column via Hermitian row read (G[0:n, n] = conj(G[n, :]))
+            g_r = jnp.concatenate([Gr[k][n : n + 1, :] for k in range(K)], axis=0)
+            g_i = -jnp.concatenate([Gi[k][n : n + 1, :] for k in range(K)], axis=0)
+            z_r = jnp.concatenate([Zr[k][n : n + 1, :] for k in range(K)], axis=0)
+            z_i = -jnp.concatenate([Zi[k][n : n + 1, :] for k in range(K)], axis=0)
+            g_r, g_i, z_r, z_i = (v * lane_ok for v in (g_r, g_i, z_r, z_i))
 
         phi_r = w * (yob_r + (g_r if rho1 else rho * g_r) + z_r)  # (K, TILE)
         phi_i = w * (yob_i + (g_i if rho1 else rho * g_i) + z_i)
 
-        diag = jnp.concatenate(
-            [
-                jnp.sum((Gr[k] + zscale(Zr[k])) * eye, axis=0, keepdims=True)
-                for k in range(K)
-            ],
-            axis=0,
-        )  # (K, TILE)
-        h = _project_sum_inf_block(
-            diag * lane_ok, A, lane_ok, outer_iters, inner_iters
-        )
+        if ablate == "diag":
+            diag = phi_r
+        else:
+            diag = jnp.concatenate(
+                [
+                    jnp.sum((Gr[k] + zscale(Zr[k])) * eye, axis=0, keepdims=True)
+                    for k in range(K)
+                ],
+                axis=0,
+            )  # (K, TILE)
+        if ablate == "h":
+            h = diag * lane_ok
+        else:
+            h = _project_sum_inf_block(
+                diag * lane_ok, A, lane_ok, outer_iters, inner_iters
+            )
 
-        # all corner columns from ONE small transpose: column k of phi^T
-        phiT_r = phi_r.T  # (TILE, K)
-        phiT_i = phi_i.T
-        Mr, Mi = [], []
-        for k in range(K):
-            pr = phi_r[k : k + 1, :]
-            pi = phi_i[k : k + 1, :]
-            pc_r = jax.lax.slice(phiT_r, (0, k), (TILE, k + 1))  # (TILE, 1)
-            pc_i = jax.lax.slice(phiT_i, (0, k), (TILE, k + 1))
-            # M = B - Z/rho assembled directly; exactly Hermitian (each term
-            # is symmetric/antisymmetric bit-for-bit)
-            Mr.append(
-                eye * h[k : k + 1, :] + row_is_n * pr + pc_r * col_is_n
-                + C_lam - zscale(Zr[k])
-            )
-            Mi.append(
-                row_is_n * (-pi) + pc_i * col_is_n - zscale(Zi[k])
-            )
+        if ablate == "assemble":
+            Mr = [0.5 * Gr[k] - zscale(Zr[k]) for k in range(K)]
+            Mi = [0.5 * Gi[k] - zscale(Zi[k]) for k in range(K)]
+        else:
+            # all corner columns from ONE small transpose: column k of phi^T
+            phiT_r = phi_r.T  # (TILE, K)
+            phiT_i = phi_i.T
+            Mr, Mi = [], []
+            for k in range(K):
+                pr = phi_r[k : k + 1, :]
+                pi = phi_i[k : k + 1, :]
+                pc_r = jax.lax.slice(phiT_r, (0, k), (TILE, k + 1))  # (TILE, 1)
+                pc_i = jax.lax.slice(phiT_i, (0, k), (TILE, k + 1))
+                # M = B - Z/rho assembled directly; exactly Hermitian (each
+                # term is symmetric/antisymmetric bit-for-bit)
+                Mr.append(
+                    eye * h[k : k + 1, :] + row_is_n * pr + pc_r * col_is_n
+                    + C_lam - zscale(Zr[k])
+                )
+                Mi.append(
+                    row_is_n * (-pi) + pc_i * col_is_n - zscale(Zi[k])
+                )
 
         Gr2, Gi2 = _polar_psd_fast(
-            Mr, Mi, K, hi_steps, schedule, final_hi, resym_out=False
+            Mr, Mi, K, hi_steps, schedule, final_hi, resym_out=False,
+            fixed_inv=1.0 / 64.0 if ablate == "norm" else None,
+            skip_finals=ablate == "finals",
         )
         # Z' = Z + rho (G' - B) = rho (G' - M) since B = M + Z/rho
-        if rho1:
+        if ablate == "zupd":
+            Zr2, Zi2 = Gr2, Gi2
+        elif rho1:
             Zr2 = [Gr2[k] - Mr[k] for k in range(K)]
             Zi2 = [Gi2[k] - Mi[k] for k in range(K)]
         else:
@@ -305,13 +339,19 @@ def _fused_fast_kernel_lean(
 
     zeros = [jnp.zeros((TILE, TILE), jnp.float32) for _ in range(K)]
     zrow = jnp.zeros((K, TILE), jnp.float32)
-    _, _, _, _, phi_r, phi_i = jax.lax.fori_loop(
+    Gr, _, _, _, phi_r, phi_i = jax.lax.fori_loop(
         0, num_iters,
         body,
         (zeros, list(zeros), list(zeros), list(zeros), zrow, zrow),
+        unroll=loop_unroll if loop_unroll > 1 else None,
     )
     phi_r_ref[:, 0, :] = phi_r
     phi_i_ref[:, 0, :] = phi_i
+    if ablate != "none":
+        # keep the plane-update chain live under any ablation: the debug
+        # output reads every final G plane (see docstring)
+        dbg = jnp.concatenate([Gr[k][n : n + 1, :] for k in range(K)], axis=0)
+        phi_r_ref[:, 0, :] = phi_r + 0.0 * dbg
 
 
 def _fused_fast_kernel(
@@ -394,7 +434,7 @@ def _fused_fast_kernel(
     jax.jit,
     static_argnames=("num_iters", "rho", "lambda_val", "kblk", "hi_steps",
                      "interpret", "outer_iters", "inner_iters", "schedule",
-                     "final_hi", "layout"),
+                     "final_hi", "layout", "ablate", "loop_unroll"),
 )
 def admm_solve_fused_fast(
     y: jnp.ndarray,
@@ -411,6 +451,8 @@ def admm_solve_fused_fast(
     schedule: tuple = POLAR_BF16_SCHEDULE,
     final_hi: bool = True,
     layout: str = "lean",
+    ablate: str = "none",
+    loop_unroll: int = 1,
 ) -> jnp.ndarray:
     """Fully-fused fast-schedule fixed-iteration solve; phi (B, n) complex.
 
@@ -444,6 +486,8 @@ def admm_solve_fused_fast(
 
     if layout not in ("lean", "lists"):
         raise ValueError(f"unknown layout {layout!r}")
+    if ablate != "none" and layout != "lean":
+        raise ValueError("ablate profiling is lean-layout only")
     kernel = functools.partial(
         _fused_fast_kernel_lean if layout == "lean"
         else _fused_fast_kernel,
@@ -457,6 +501,10 @@ def admm_solve_fused_fast(
         inner_iters=inner_iters,
         schedule=tuple(schedule),
         final_hi=final_hi,
+        **(
+            {"ablate": ablate, "loop_unroll": loop_unroll}
+            if layout == "lean" else {}
+        ),
     )
     row = pl.BlockSpec(
         (kblk, 1, TILE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM

@@ -113,6 +113,7 @@ class GLayer(nn.Module):
     ref_stop_gradients: bool = True
     mode: str = "eigh"  # "eigh" | "chebyshev"
     cheb_degree: int = 48
+    cheb_precision: str = "highest"  # "highest" | "default" (one-pass bf16)
 
     @nn.compact
     def __call__(self, phi, h, Z):
@@ -147,7 +148,11 @@ class GLayer(nn.Module):
             from admmnet_tpu.ops.chebyshev import apply_spectral_filter
 
             G = apply_spectral_filter(
-                hermitianize(M), spectral_filter, self.cheb_degree
+                hermitianize(M), spectral_filter, self.cheb_degree,
+                precision=(
+                    jax.lax.Precision.DEFAULT
+                    if self.cheb_precision == "default" else None
+                ),
             )
             return hermitianize(G)
 

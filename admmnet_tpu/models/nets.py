@@ -77,6 +77,7 @@ class _Trunk(nn.Module):
                 ref_stop_gradients=cfg.ref_stop_gradients,
                 mode=cfg.g_mode,
                 cheb_degree=cfg.cheb_degree,
+                cheb_precision=cfg.cheb_precision,
                 name=f"g_{k}",
             )(phi, h, Z)
             Z = ZLayer(

@@ -59,13 +59,23 @@ def apply_spectral_filter(
     M: jnp.ndarray,
     f: Callable[[jnp.ndarray], jnp.ndarray],
     degree: int = 48,
+    precision=None,
 ) -> jnp.ndarray:
     """f_mat(M) for Hermitian (..., m, m) M and pointwise filter ``f``.
 
     ``f`` maps a real (..., n_nodes) array of eigenvalue locations to filter
     values (broadcast over the node axis).  ``degree`` = number of Chebyshev
     terms = number of matrix products.
+
+    ``precision``: matmul precision for the Clenshaw recurrence (default
+    HIGHEST).  At ``lax.Precision.DEFAULT`` each matmul is ONE bf16 MXU pass
+    instead of ~6 (the polar-kernel trade, kernels/polar.py); the recurrence
+    is kept on the Hermitian manifold by re-projecting each iterate, exactly
+    like the bf16 sign schedule -- without it the one-pass noise's
+    non-Hermitian component compounds through the 2*M*b1 doubling.
     """
+    prec = _HI if precision is None else precision
+    resym = prec != _HI
     m = M.shape[-1]
     r = jnp.sqrt(jnp.sum(jnp.abs(M) ** 2, axis=(-1, -2), keepdims=True))
     r = jnp.maximum(jnp.real(r), 1e-20)  # (..., 1, 1) spectral bound
@@ -79,17 +89,24 @@ def apply_spectral_filter(
     eye = jnp.eye(m, dtype=M.dtype)
     zero = jnp.zeros_like(M)
 
+    def _herm(X):
+        return 0.5 * (X + jnp.conj(jnp.swapaxes(X, -1, -2)))
+
     def clenshaw(carry, ck):
         b1, b2 = carry
         b0 = ck[..., None, None].astype(M.dtype) * eye + (
-            2.0 * jnp.matmul(Mh, b1, precision=_HI) - b2
+            2.0 * jnp.matmul(Mh, b1, precision=prec) - b2
         )
+        if resym:
+            b0 = _herm(b0)
         return (b0, b1), None
 
     # iterate k = K-1 .. 1; handle k = 0 with the single-M correction
     ck_rev = jnp.moveaxis(c[..., 1:], -1, 0)[::-1]  # (K-1, ...)
     (b1, b2), _ = lax.scan(clenshaw, (zero, zero), ck_rev)
     out = c[..., 0][..., None, None].astype(M.dtype) * eye + (
-        jnp.matmul(Mh, b1, precision=_HI) - b2
+        jnp.matmul(Mh, b1, precision=prec) - b2
     )
+    if resym:
+        out = _herm(out)
     return (out * r.astype(M.dtype)).astype(M.dtype)

@@ -307,6 +307,7 @@ def admm_solve_fixed(
                 inner_iters=opts.fused_inner_iters,
                 schedule=sched, final_hi=opts.fused_final_hi,
                 layout=opts.fused_layout,
+                loop_unroll=opts.fused_unroll,
             )
             return out.reshape(*batch, n) if batch else out[0]
         import dataclasses as _dc

@@ -345,31 +345,51 @@ def _batches(data, batch_size, shuffle, seed, drop_remainder=False):
 
 
 def _graft_params(params, donor, log_fn):
-    """Replace top-level submodule trees of ``params`` ("params"/"trunk"/...)
-    with same-named, same-structured trees from ``donor``."""
+    """Replace submodule trees of ``params`` with same-named, same-shaped
+    trees from ``donor``, recursing into partially-matching modules.
+
+    Recursion handles architecture supersets: e.g. a ``learned_sensing``
+    trunk has an extra ``sensing`` submodule the donor (trained without
+    sensing) lacks -- the shared phi/h/g/z layers graft, the sensing matrix
+    keeps its fresh (identity) init.  A same-named leaf with a different
+    shape raises."""
     import jax
+
+    taken, kept = [], []
+
+    def merge(tgt, src, path):
+        if isinstance(tgt, dict) and isinstance(src, dict):
+            out = dict(tgt)
+            for k, v in src.items():
+                if k in tgt:
+                    out[k] = merge(tgt[k], v, f"{path}/{k}")
+            for k in tgt:
+                if k not in src:
+                    kept.append(f"{path}/{k}")
+            return out
+        tgt_shape = jnp.shape(tgt)
+        src_shape = tuple(np.shape(src))
+        if tgt_shape != src_shape:
+            raise ValueError(
+                f"init_from leaf {path} shape mismatch: "
+                f"{src_shape} vs {tgt_shape}"
+            )
+        taken.append(path)
+        return jnp.asarray(src)
 
     inner = params["params"]
     donor_inner = donor.get("params", donor)
-    grafted = dict(inner)
-    taken = []
-    for k, v in donor_inner.items():
-        if k not in inner:
-            continue
-        tgt_shapes = jax.tree.map(jnp.shape, inner[k])
-        src_shapes = jax.tree.map(lambda a: tuple(np.shape(a)), v)
-        if tgt_shapes != src_shapes:
-            raise ValueError(
-                f"init_from submodule {k!r} structure mismatch: "
-                f"{src_shapes} vs {tgt_shapes}"
-            )
-        grafted[k] = jax.tree.map(jnp.asarray, v)
-        taken.append(k)
+    grafted = {
+        k: merge(inner[k], v, k) for k, v in donor_inner.items() if k in inner
+    }
     if not taken:
         raise ValueError("init_from checkpoint shares no submodules with model")
-    log_fn(f"warm-started submodules {taken} from init_from checkpoint")
+    mods = sorted({p.split("/")[0] for p in taken})
+    log_fn(f"warm-started {len(taken)} leaves in submodules {mods} from "
+           f"init_from checkpoint"
+           + (f"; fresh-init kept for {kept}" if kept else ""))
     out = dict(params)
-    out["params"] = grafted
+    out["params"] = {**dict(inner), **grafted}
     return out
 
 
@@ -469,7 +489,12 @@ def _train_loop(
         start_epoch = meta["epoch"] + 1
         best_val = meta["best_val_loss"]
         history = meta.get("history", history)
-        log_fn(f"resumed from epoch {start_epoch}")
+        if getattr(tcfg, "reset_best", False):
+            # curriculum stage switch: val losses are not comparable across
+            # datasets; keep params/epoch, forget the old best
+            best_val = float("inf")
+        log_fn(f"resumed from epoch {start_epoch}"
+               + (" (best_val reset)" if best_val == float("inf") else ""))
     params, opt_state = place_state(params, opt_state)
 
     sched_probe = sgdr_schedule(

@@ -146,3 +146,13 @@ def test_solver_dispatch_passes_fused_layout(monkeypatch):
                      1.0, opts)
     assert seen["layout"] == "lists"
     assert seen["kblk"] == opts.fused_kblk
+
+
+def test_ablate_rejected_on_lists_layout():
+    y, b, s = make_anchor_batch(2, mode="redemod", seed=5)
+    import pytest
+
+    with pytest.raises(ValueError, match="lean-layout only"):
+        admm_solve_fused_fast(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s),
+                              2, kblk=2, interpret=True, layout="lists",
+                              ablate="h")

@@ -377,3 +377,26 @@ def test_spectral_contrast_loss_descends_toward_targets():
     assert l1 < l0
     assert (a1 > a0).all(), (a0, a1)
     assert a1.min() > 0.1, a1  # both targets hold substantial mass
+
+
+def test_chebyshev_default_precision_matches_and_stays_hermitian():
+    """precision=DEFAULT path (one-pass bf16 on TPU): on CPU the precision
+    flag is a no-op so the result must match HIGHEST to f32 noise, and the
+    per-step re-projection must keep the output exactly Hermitian."""
+    import jax
+    from admmnet_tpu.ops.chebyshev import apply_spectral_filter
+
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(2, 16, 16)) + 1j * rng.normal(size=(2, 16, 16))
+    M = jnp.asarray((A + np.conj(np.swapaxes(A, -1, -2))) / 2, jnp.complex64)
+
+    def f(w):
+        return jax.nn.softplus(w - 0.1)
+
+    hi = np.asarray(apply_spectral_filter(M, f, degree=32))
+    lo = np.asarray(
+        apply_spectral_filter(M, f, degree=32,
+                              precision=jax.lax.Precision.DEFAULT)
+    )
+    assert np.allclose(hi, lo, atol=1e-4), np.abs(hi - lo).max()
+    np.testing.assert_array_equal(lo, np.conj(np.swapaxes(lo, -1, -2)))
