@@ -22,6 +22,11 @@ RETRYABLE_MARKERS: Tuple[str, ...] = (
     "DEADLINE_EXCEEDED",
     "INTERNAL",
     "Socket closed",
+    # worker crash mid-execution surfaces as FAILED_PRECONDITION on the
+    # fetch (observed 2026-08-20: "TPU backend error (FailedPrecondition)"
+    # after ~10 min of queued compiles; worker self-recovered ~4 min later)
+    "FAILED_PRECONDITION",
+    "FailedPrecondition",
 )
 
 
