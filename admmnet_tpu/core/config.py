@@ -106,12 +106,21 @@ class ADMMOptions:
     #     in-kernel H-projection (outer = bisection on the constraint
     #     multiplier, inner = monotone Newton on the prox waterline; see
     #     the kernel docstring for rejected faster root-finders).  Depth
-    #     ladder 16/8 -> 6/5 -> 4/3 measured flat on every quality gate.
-    # kblk>16 needs (and gets) a raised Mosaic scoped-VMEM limit; K=16
-    # measured best (K=8 -7%, K=32 -2%).
-    fused_kblk: int = 16
-    fused_proj_iters: int = 4
-    fused_inner_iters: int = 3
+    #     ladder 16/8 -> 6/5 -> 4/3 -> 3/2 measured flat on every quality
+    #     gate (3/2 re-gated on hardware for the round-3 defaults:
+    #     anchor F1 1.0, 512 random-SNR scenes F1 == the exact-eigh
+    #     control bit-for-bit, results/r03/sweep_gate.json).
+    # kblk>16 needs (and gets) a raised Mosaic scoped-VMEM limit.  The
+    # round-2 LIST layout measured K=16 best (its assembly glue scaled
+    # with K); the round-3 LEAN layout's remaining serial per-program
+    # costs (root-finder, diag extraction -- runs/profile_lean.py) halve
+    # with doubled interleave, moving the knee: same-day B=8192 grid
+    # K16/4-3 641.8k, K24/3-2 675.7k, K32/4-3 657.0k, **K32/3-2 768.7k**
+    # inst-iter/s (+19.8% over the round-2 defaults measured the same
+    # session; results/r03/sweep_gate.json + sweep_k16.json).
+    fused_kblk: int = 32
+    fused_proj_iters: int = 3
+    fused_inner_iters: int = 2
     fused_schedule: str = "sched2"  # "full" | "sched3" | "sched2"
     fused_final_hi: bool = False
     # fused_fast kernel layout: "lean" (production; B never materialized,
