@@ -214,6 +214,55 @@ def _matched_rmse_pair_dev(tau_pred, f_pred, tau_true, f_true, L_true):
     return jnp.sum(tau_rmse * sel) / denom, jnp.sum(f_rmse * sel) / denom
 
 
+def _matched_detection_dev(tau_pred, f_pred, conf, tau_true, f_true, L_true,
+                           tol, thr):
+    """Location-matched detection counts as device scalars (greedy matching,
+    the ``peaks.metrics.match_peaks`` protocol applied to the trainer's slot
+    predictions).
+
+    The reference's count-based protocol (train.py:381-392, kept as the
+    parity metric) is degenerate when ``L_true == L_max`` for every sample
+    and conf > thr near-always: any head -- including a mean-collapsed one --
+    scores F1 1.0.  This matched variant makes a prediction a true positive
+    only if it falls within ``tol`` of an unmatched true target, so a
+    collapsed head can no longer self-certify (round-3 verdict, weak-7).
+
+    Returns (tp, fp, fn, tau_sse, f_sse) so RMSE over matched pairs
+    aggregates across batches in the caller.  Works under mesh sharding
+    (replicated scalars) like the other _dev metrics.
+    """
+    K = tau_pred.shape[-1]
+    L = tau_true.shape[-1]
+    valid_pred = conf > thr  # (B, K)
+    used = jnp.zeros(valid_pred.shape, bool)
+    tp = jnp.zeros((), jnp.int32)
+    fn = jnp.zeros((), jnp.int32)
+    tau_sse = jnp.zeros((), jnp.float32)
+    f_sse = jnp.zeros((), jnp.float32)
+    for l in range(L):  # L is small and static (L_max slots); unrolled
+        t_valid = l < L_true.astype(jnp.int32)  # (B,)
+        dt = jnp.abs(tau_pred - tau_true[:, l:l + 1])  # (B, K)
+        df = jnp.abs(f_pred - f_true[:, l:l + 1])
+        ok = valid_pred & ~used & (dt <= tol) & (df <= tol)
+        d = jnp.where(ok, dt**2 + df**2, jnp.inf)
+        j = jnp.argmin(d, axis=-1)  # (B,)
+        hit = jnp.take_along_axis(ok, j[:, None], -1)[:, 0] & t_valid
+        used = used | ((jax.nn.one_hot(j, K, dtype=jnp.bool_)) & hit[:, None])
+        tp += jnp.sum(hit)
+        fn += jnp.sum(t_valid & ~hit)
+        dtj = jnp.take_along_axis(dt, j[:, None], -1)[:, 0]
+        dfj = jnp.take_along_axis(df, j[:, None], -1)[:, 0]
+        tau_sse += jnp.sum(jnp.where(hit, dtj**2, 0.0))
+        f_sse += jnp.sum(jnp.where(hit, dfj**2, 0.0))
+    fp = jnp.sum(valid_pred & ~used)
+    return tp, fp, fn, tau_sse, f_sse
+
+
+# position-matched test-metric tolerance: the accuracy protocol used
+# everywhere else in the repo (peaks/metrics.py, eval_net, RESULTS.md)
+MATCH_TOL = 0.05
+
+
 def train_admmnet(
     mcfg: ModelConfig,
     tcfg: TrainConfig,
@@ -322,8 +371,14 @@ def build_steps(
             tp, fp, fn = _detection_counts_dev(
                 aux["conf"], batch["L_true"], conf_threshold
             )
+            mtp, mfp, mfn, m_tau_sse, m_f_sse = _matched_detection_dev(
+                aux["tau"], aux["f"], aux["conf"], batch["tau"], batch["f"],
+                batch["L_true"], MATCH_TOL, conf_threshold,
+            )
             metrics = {"tau_rmse": t_rm, "f_rmse": f_rm,
-                       "tp": tp, "fp": fp, "fn": fn}
+                       "tp": tp, "fp": fp, "fn": fn,
+                       "mtp": mtp, "mfp": mfp, "mfn": mfn,
+                       "m_tau_sse": m_tau_sse, "m_f_sse": m_f_sse}
         return total, metrics
 
     return train_step, eval_step
@@ -584,6 +639,8 @@ def _train_loop(
     if test_data is not None:
         te_losses, tau_es, f_es = [], [], []
         tp = fp = fn = 0
+        mtp = mfp = mfn = 0
+        m_tau_sse = m_f_sse = 0.0
         for batch in _batches(test_data, tcfg.batch_size, shuffle=False, seed=0,
                               drop_remainder=mesh is not None):
             total, m = eval_step_j(params, place_batch(batch))
@@ -594,20 +651,44 @@ def _train_loop(
                 tp += int(m["tp"])
                 fp += int(m["fp"])
                 fn += int(m["fn"])
-        precision = tp / (tp + fp) if tp + fp else 0.0
-        recall = tp / (tp + fn) if tp + fn else 0.0
-        f1 = (
-            2 * precision * recall / (precision + recall)
-            if precision + recall
-            else 0.0
-        )
+                mtp += int(m["mtp"])
+                mfp += int(m["mfp"])
+                mfn += int(m["mfn"])
+                m_tau_sse += float(m["m_tau_sse"])
+                m_f_sse += float(m["m_f_sse"])
+
+        def _prf(tp_, fp_, fn_):
+            precision = tp_ / (tp_ + fp_) if tp_ + fp_ else 0.0
+            recall = tp_ / (tp_ + fn_) if tp_ + fn_ else 0.0
+            f1 = (2 * precision * recall / (precision + recall)
+                  if precision + recall else 0.0)
+            return precision, recall, f1
+
+        precision, recall, f1 = _prf(tp, fp, fn)
+        m_precision, m_recall, m_f1 = _prf(mtp, mfp, mfn)
         test_metrics = {
             "test_loss": float(np.mean(te_losses)) if te_losses else 0.0,
             "tau_rmse": float(np.mean(tau_es)) if tau_es else 0.0,
             "f_rmse": float(np.mean(f_es)) if f_es else 0.0,
+            # reference-parity count-based protocol (train.py:381-426)
             "precision": precision,
             "recall": recall,
             "f1_score": f1,
+            # position-matched protocol (peaks/metrics.py semantics): a
+            # prediction counts only within MATCH_TOL of an unmatched true
+            # target -- co-reported so a collapsed head cannot self-certify
+            # via the degenerate count metric (round-3 verdict, weak-7)
+            "matched_precision": m_precision,
+            "matched_recall": m_recall,
+            "matched_f1": m_f1,
+            # None (not NaN) when nothing matched, so the JSON stays strict
+            "matched_tau_rmse": (
+                float(np.sqrt(m_tau_sse / mtp)) if mtp else None
+            ),
+            "matched_f_rmse": (
+                float(np.sqrt(m_f_sse / mtp)) if mtp else None
+            ),
+            "match_tol": MATCH_TOL,
         }
         metrics.write_test_result(test_metrics)
         metrics.log("test", **test_metrics)

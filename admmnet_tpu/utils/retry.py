@@ -22,17 +22,24 @@ RETRYABLE_MARKERS: Tuple[str, ...] = (
     "DEADLINE_EXCEEDED",
     "INTERNAL",
     "Socket closed",
-    # worker crash mid-execution surfaces as FAILED_PRECONDITION on the
-    # fetch (observed 2026-08-20: "TPU backend error (FailedPrecondition)"
-    # after ~10 min of queued compiles; worker self-recovered ~4 min later)
-    "FAILED_PRECONDITION",
-    "FailedPrecondition",
 )
+
+# FAILED_PRECONDITION alone is a status class that also covers persistent
+# programming errors (deleted/donated buffers, device ordinal mismatch) --
+# retrying those burns the full backoff budget (~12.5 min) before surfacing.
+# The transient failure actually observed (2026-08-20: worker crash
+# mid-execution surfacing on the fetch) carries the "TPU backend error"
+# payload; only that co-occurrence is retried.
+_PRECONDITION_MARKERS: Tuple[str, ...] = ("FAILED_PRECONDITION", "FailedPrecondition")
 
 
 def is_retryable(exc: BaseException) -> bool:
     msg = str(exc)
-    return any(m in msg for m in RETRYABLE_MARKERS)
+    if any(m in msg for m in RETRYABLE_MARKERS):
+        return True
+    return "TPU backend error" in msg and any(
+        m in msg for m in _PRECONDITION_MARKERS
+    )
 
 
 def device_retry(

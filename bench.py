@@ -26,13 +26,23 @@ from the eigh solve by ~1e-1 NMSE (the reported field) exactly like the
 per-step polar_fast mode whose math it fuses.  BENCH_G=polar gives the
 NMSE-exact (1.5e-6) mode; BENCH_G=polar_fast the per-step fast kernel.
 
+Variance controls (round-3 verdict): the same compiled program varies ~20%
+across days/tunnel sessions, so the artifact also carries (a) a PINNED
+reference config (the round-2 production point K16/4-3) measured in the
+same session -- ``vs_pinned_config`` is the day-invariant progress ratio --
+and (b) a discriminating random-SNR detection gate (64 scenes vs the
+exact-eigh control on the same scenes), which unlike the saturated
+8-instance anchor gate can catch a retune that drifts detection.
+
 Env knobs: BENCH_BATCH (default 8192), BENCH_ITERS (100), BENCH_G (psd mode:
 fused_fast | polar_fast | polar | newton_schulz | eigh), BENCH_FAST_HI
 (0|1: append the HIGHEST polish step), BENCH_SCHED (fused_fast PSD schedule:
 full | sched3 | sched2; default = ADMMOptions production default sched2),
-BENCH_REPEATS (default 3).
+BENCH_REPEATS (default 3), BENCH_PINNED (0|1, default 1), BENCH_RANDOM
+(random-SNR gate scene count, default 64; 0 disables).
 """
 
+import dataclasses
 import json
 import os
 import time
@@ -82,6 +92,36 @@ def main():
         float(fx(y, b, sigma))
         best = min(best, time.time() - t0)
     ips = B * ITERS / best
+
+    # Same-session pinned-config control (round-3 verdict, missing-3): the
+    # round artifacts cannot distinguish real kernel progress from the
+    # ~20% day/tunnel variance (the identical program measured 824.5k in
+    # BENCH_r02 and 641.8k in the r03 retune session).  Measuring a PINNED
+    # reference config -- the round-2 production point, K=16 interleave +
+    # 4/3 root-finder -- in the same session gives a variance-free ratio:
+    # vs_pinned_config > 1 is real speedup regardless of the day's tunnel.
+    pinned_fields = {}
+    if G_MODE == "fused_fast" and int(os.environ.get("BENCH_PINNED", 1)):
+        pinned_opts = dataclasses.replace(
+            opts, fused_kblk=16, fused_proj_iters=4, fused_inner_iters=3
+        )
+        fp_ = cjit(
+            lambda y, b, s: jnp.sum(
+                jnp.abs(admm_solve_fixed(y, b, s, ITERS, 1.0, pinned_opts))
+            )
+        )
+        float(fp_(y, b, sigma))  # compile
+        best_p = np.inf
+        for _ in range(REPEATS):
+            t0 = time.time()
+            float(fp_(y, b, sigma))
+            best_p = min(best_p, time.time() - t0)
+        pinned_ips = B * ITERS / best_p
+        pinned_fields = {
+            "pinned_config": "k16_outer4_inner3_sched2_lean",
+            "pinned_iter_s": round(pinned_ips, 1),
+            "vs_pinned_config": round(ips / pinned_ips, 4),
+        }
 
     # quality gate on a small slice
     qB = 8
@@ -154,6 +194,43 @@ def main():
         )
         exact_fields["exact_batch"] = B_EX
 
+    # Discriminating random-SNR quality gate (round-3 verdict, weak-3): the
+    # 8-instance anchor gate saturates (F1 1.0 at every config ever tried),
+    # so it cannot catch a retune that drifts detection.  This gate solves
+    # RANDOM_B random-SNR scenes (SNR 5-25 dB, fresh targets per scene) with
+    # the production config AND the exact-eigh control, scoring both against
+    # ground truth -- the production F1 must track the control's (measured
+    # bit-for-bit equal through rounds 2-3, results/r03/sweep_gate.json).
+    random_fields = {}
+    RANDOM_B = int(os.environ.get("BENCH_RANDOM", 64))
+    if RANDOM_B > 0:
+        from admmnet_tpu.core.config import DataConfig
+        from admmnet_tpu.data.generator import generate_batch
+
+        raw = generate_batch(jax.random.PRNGKey(42), DataConfig(), RANDOM_B)
+        rnd_stats = {}
+        for name, o in (("prod", opts), ("eigh", ADMMOptions(g_update="eigh"))):
+            fr = cjit(
+                lambda y, b, s, o=o: find_peaks(
+                    admm_solve_fixed(y, b, s, ITERS, 1.0, o), 10, 10,
+                    PeakSearchConfig(max_peaks=8),
+                )
+            )
+            pk = to_host(fr(raw["y"], raw["b"], raw["sigma"]))
+            rnd_stats[name] = match_peaks(
+                pk.tau[:, :3], pk.f[:, :3], raw["tau"], raw["f"],
+                tol_tau=0.05, tol_f=0.05,
+            )
+        random_fields = {
+            "random_snr_scenes": RANDOM_B,
+            "random_f1": round(rnd_stats["prod"]["f1"], 4),
+            "random_f1_eigh_control": round(rnd_stats["eigh"]["f1"], 4),
+            "random_tau_rmse": round(rnd_stats["prod"]["tau_rmse"], 5),
+            "random_tau_rmse_eigh_control": round(
+                rnd_stats["eigh"]["tau_rmse"], 5
+            ),
+        }
+
     # reference-parity pin: ref-compat mode (dense phi update + identity G
     # step + adaptive stop -- the reference's exact semantics) on the FIXED
     # anchor vs the float64 numpy oracle (solver/reference_oracle.py).
@@ -201,6 +278,8 @@ def main():
                 "phi_nmse_vs_eigh": (
                     None if nmse_vs_eigh is None else float(f"{nmse_vs_eigh:.3e}")
                 ),
+                **pinned_fields,
+                **random_fields,
                 **exact_fields,
                 "refcompat_phi_nmse_vs_oracle64": (
                     None if refcompat_nmse is None

@@ -41,7 +41,7 @@ for kblk in (16, 24, 32):
                 ))
             )
         )
-        fetch = device_retry(lambda: float(fn(y, b, s)))
+        fetch = device_retry(lambda fn=fn: float(fn(y, b, s)))
         t0 = time.time()
         fetch()
         comp = time.time() - t0

@@ -65,6 +65,17 @@ def test_train_admmnet_end_to_end(tmp_path):
     assert (tmp_path / "run" / "training_history.json").exists()
     assert (tmp_path / "run" / "test_result.json").exists()
     assert set(res.test_metrics) >= {"precision", "recall", "f1_score", "tau_rmse"}
+    # the position-matched protocol is co-reported in every e2e test artifact
+    # (a collapsed head scores count-F1 1.0 but matched-F1 ~0; verdict r3)
+    import json
+
+    on_disk = json.loads((tmp_path / "run" / "test_result.json").read_text())
+    assert set(on_disk) >= {
+        "precision", "recall", "f1_score", "tau_rmse", "f_rmse",
+        "matched_precision", "matched_recall", "matched_f1",
+        "matched_tau_rmse", "matched_f_rmse", "match_tol",
+    }
+    assert on_disk["match_tol"] == 0.05
 
 
 def test_train_admmnet_spectrum_head(tmp_path):
@@ -356,3 +367,85 @@ def test_init_from_grafts_into_learned_sensing_superset(tmp_path):
         np.eye(SPEC.n), atol=0,
     )
     assert any("sensing" in m for m in msgs)
+
+
+def test_matched_detection_dev_agrees_with_match_peaks():
+    """Device matched-detection counts == peaks.metrics.match_peaks (the
+    host oracle) on random batches, including sub-threshold confidences and
+    variable L_true; and a mean-collapsed head scores matched-F1 0 while the
+    count-based protocol scores 1.0 (the degenerate case the co-report
+    exists to expose, verdict r3 weak-7)."""
+    import jax.numpy as jnp
+
+    from admmnet_tpu.peaks import match_peaks
+    from admmnet_tpu.train.trainer import (
+        _detection_counts,
+        _matched_detection_dev,
+    )
+
+    rng = np.random.default_rng(0)
+    B, K = 64, 3
+    for trial in range(3):
+        true_tau = rng.uniform(0.1, 0.9, (B, K))
+        true_f = rng.uniform(-0.4, 0.4, (B, K))
+        # predictions: mostly near-truth, some displaced, some low-conf
+        pred_tau = true_tau + rng.normal(0, 0.03, (B, K))
+        pred_f = true_f + rng.normal(0, 0.03, (B, K))
+        conf = rng.uniform(0, 1, (B, K))
+        L_true = np.full(B, K) if trial == 0 else rng.integers(0, K + 1, B)
+        tp, fp, fn, tsse, fsse = [
+            np.asarray(x)
+            for x in _matched_detection_dev(
+                jnp.asarray(pred_tau, jnp.float32),
+                jnp.asarray(pred_f, jnp.float32),
+                jnp.asarray(conf, jnp.float32),
+                jnp.asarray(true_tau, jnp.float32),
+                jnp.asarray(true_f, jnp.float32),
+                jnp.asarray(L_true),
+                0.05,
+                0.5,
+            )
+        ]
+        # host oracle: valid truths only (match_peaks has no L_true mask, so
+        # feed it per-sample via the valid slots -- emulate by scoring only
+        # samples where L_true == K for the exact-comparison trial)
+        if trial == 0:
+            st = match_peaks(
+                pred_tau.astype(np.float32), pred_f.astype(np.float32),
+                true_tau.astype(np.float32), true_f.astype(np.float32),
+                tol_tau=0.05, tol_f=0.05, pred_valid=conf > 0.5,
+            )
+            assert (int(tp), int(fp), int(fn)) == (st["tp"], st["fp"], st["fn"])
+            if st["tp"]:
+                np.testing.assert_allclose(
+                    np.sqrt(tsse / tp), st["tau_rmse"], rtol=1e-4
+                )
+                np.testing.assert_allclose(
+                    np.sqrt(fsse / tp), st["f_rmse"], rtol=1e-4
+                )
+        else:
+            # consistency invariants under variable L_true
+            assert int(tp) + int(fn) == int(np.sum(L_true))
+            assert int(tp) + int(fp) == int(np.sum(conf > 0.5))
+
+    # mean-collapsed head: all predictions at the dataset mean, conf ~ 1
+    true_tau = rng.uniform(0.1, 0.9, (B, K))
+    true_f = rng.uniform(-0.4, 0.4, (B, K))
+    pred_tau = np.full((B, K), 0.5)
+    pred_f = np.full((B, K), 0.0)
+    conf = np.full((B, K), 0.99)
+    L_true = np.full(B, K)
+    tp, fp, fn, _, _ = [
+        np.asarray(x)
+        for x in _matched_detection_dev(
+            jnp.asarray(pred_tau, jnp.float32), jnp.asarray(pred_f, jnp.float32),
+            jnp.asarray(conf, jnp.float32), jnp.asarray(true_tau, jnp.float32),
+            jnp.asarray(true_f, jnp.float32), jnp.asarray(L_true), 0.05, 0.5,
+        )
+    ]
+    # a handful of truths can sit within tol of the mean by chance; the
+    # matched F1 must still be far from the count-based 1.0
+    ctp, cfp, cfn = _detection_counts(conf, L_true.astype(float), 0.5)
+    assert (ctp, cfp, cfn) == (B * K, 0, 0)  # count protocol: perfect
+    matched_f1 = 2 * tp / max(2 * tp + fp + fn, 1)
+    assert matched_f1 < 0.3
