@@ -131,6 +131,22 @@ class ADMMOptions:
     # fori_loop unroll factor of the lean kernel's iteration loop (1 = no
     # unrolling; >1 trades compile time/code size for loop-carry overhead)
     fused_unroll: int = 1
+    # Round-4 lean-kernel rungs (kernels/fused_admm_fast.py; the two levers
+    # the round-3 profile named: root-finder 30% + diag extraction 13% of
+    # the K=16 iteration, runs/profile_lean.py):
+    #   fused_fold_diag: extract the next iteration's plane reads (diag of
+    #     G+Z/rho, corner rows of rho G+Z) from the symmetrized |M| product
+    #     inside the PSD finals while it is in registers -- the G planes
+    #     then leave the carry entirely (Z' and both reads are functions
+    #     of A and M).
+    #   fused_warm_root: carry the H-projection's outer-bisection bracket
+    #     across ADMM iterations (the multiplier root drifts slowly as the
+    #     iterates converge); each iteration re-clamps, bisects
+    #     fused_proj_iters times, and re-widens with a 5%-of-hi floor so a
+    #     drifted root is re-acquired geometrically.  Lets proj_iters run
+    #     at 2 with asymptotically TIGHTER brackets than the cold 3-step.
+    fused_fold_diag: bool = False
+    fused_warm_root: bool = False
 
     def __post_init__(self):
         if self.phi_update not in ("diag", "ref_dense"):

@@ -50,7 +50,7 @@ def _mm(a, b, hi=False):
 
 def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
                     final_hi=True, resym_out=True, fixed_inv=None,
-                    skip_finals=False):
+                    skip_finals=False, emit_a_stats=None):
     """Fast-schedule PSD step on K interleaved (TILE, TILE) plane pairs.
 
     Same math as kernels/polar.py mode="fast": bf16-stable box-constrained
@@ -59,6 +59,16 @@ def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
     is off (a HIGHEST matmul is ~6 one-pass MXU passes, so with a short
     schedule the 3 closing products dominate the pass count; their one-pass
     noise ~4e-3 is far below the short schedules' eigenvalue write-off).
+
+    ``emit_a_stats``: when set to the logical corner index n, also return
+    (adiag, arow_r, arow_i) -- the diagonal and the n-th row of the
+    symmetrized |M| product A (each (K, TILE)).  With P = (M + A)/2 and the
+    lean Z-update Z' = rho (P - M), the NEXT iteration's two plane reads
+    are exactly functions of A: diag(G' + Z'/rho) = diag(A) and
+    (rho G' + Z')[n, :] = rho A[n, :] -- so extracting them here, while A
+    is in registers, replaces the next iteration's K eye-masked plane
+    reductions + 4K corner-row reads (the 13% "diag extraction" line of
+    the round-3 profile, runs/profile_lean.py).
     """
     schedule = tuple(schedule) + (
         (POLAR_BF16_POLISH,) if hi_steps >= 1 else ()
@@ -105,11 +115,19 @@ def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
     t2 = [_mm(Xi[k], Mi[k], final_hi) for k in range(K)]
     t3 = [_mm(Xr[k] + Xi[k], Mr[k] + Mi[k], final_hi) for k in range(K)]
     Pr, Pi = [], []
+    a_stats = [] if emit_a_stats is not None else None
     for k in range(K):
         Ar = t1[k] - t2[k]
         Ai = t3[k] - t1[k] - t2[k]
         Ar = 0.5 * (Ar + Ar.T)
         Ai = 0.5 * (Ai - Ai.T)
+        if emit_a_stats is not None:
+            nn = emit_a_stats
+            a_stats.append((
+                jnp.sum(Ar * eye, axis=0, keepdims=True),  # diag(A), (1,TILE)
+                Ar[nn : nn + 1, :],
+                Ai[nn : nn + 1, :],
+            ))
         pr = 0.5 * (Mr[k] + Ar)
         pi = 0.5 * (Mi[k] + Ai)
         if resym_out:
@@ -120,10 +138,16 @@ def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
             pi = 0.5 * (pi - pi.T)
         Pr.append(pr)
         Pi.append(pi)
+    if emit_a_stats is not None:
+        adiag = jnp.concatenate([s[0] for s in a_stats], axis=0)
+        arow_r = jnp.concatenate([s[1] for s in a_stats], axis=0)
+        arow_i = jnp.concatenate([s[2] for s in a_stats], axis=0)
+        return Pr, Pi, (adiag, arow_r, arow_i)
     return Pr, Pi
 
 
-def _project_sum_inf_block(t, A, lane_ok, outer_iters, inner_iters):
+def _project_sum_inf_block(t, A, lane_ok, outer_iters, inner_iters,
+                           bracket=None):
     """Projection of (K, TILE) rows onto {A*||h||_inf + sum h <= 1}
     (vectorized ops.projections.project_sum_inf), all K instances together.
 
@@ -156,6 +180,25 @@ def _project_sum_inf_block(t, A, lane_ok, outer_iters, inner_iters):
     the ADMMOptions production default.
 
     ``A``: (K, 1); ``lane_ok``: (1, TILE) 0/1 mask of logical lanes.
+
+    ``bracket``: optional carried (lo, hi) pair of (K, 1) arrays -- the
+    warm-started outer bisection (round-3 profile follow-up: the
+    root-finder's serial per-program latency was 30% of the lean iteration
+    at K=16).  The constraint-multiplier root mu* drifts slowly as the
+    outer ADMM converges, so instead of re-bisecting the loose global
+    bracket [0, 0.5 sum t^2 + 1] every iteration, the bracket survives
+    across iterations: each call clamps the carried bracket into the
+    current global one, runs ``outer_iters`` bisection steps, and returns
+    a re-widened bracket (+- one width, floored at 5% of hi) for the next
+    call.  The widening floor guarantees geometric recovery when the root
+    drifts outside the carried bracket (a stuck bracket re-opens by >= 5%
+    of hi per iteration in the right direction); with 2 bisection steps the
+    asymptotic width contracts by (1 + 2*1)/4 = 0.75 per iteration until
+    the floor, so accuracy ends ~5% relative -- far TIGHTER than the
+    cold 3-step bisection's global_hi/8 absolute width, at 2/3 the
+    h-evaluations.  Feasible instances (f(t) <= 1, root at 0) reset their
+    bracket to the global one so a later infeasible spell restarts clean.
+    Returns (h, (lo_next, hi_next)) when ``bracket`` is given, else h.
     """
     t = t * lane_ok
     n_lanes = jnp.sum(lane_ok)
@@ -185,22 +228,42 @@ def _project_sum_inf_block(t, A, lane_ok, outer_iters, inner_iters):
         return jnp.where(total <= r, 0.0, h)
 
     feasible = f_of(t) <= 1.0
-    lo = jnp.zeros((t.shape[0], 1), jnp.float32)
-    hi = jnp.maximum(1.0, 0.5 * jnp.sum(t * t, axis=-1, keepdims=True) + 1.0)
+    glob_hi = jnp.maximum(1.0, 0.5 * jnp.sum(t * t, axis=-1, keepdims=True) + 1.0)
+    if bracket is None:
+        lo = jnp.zeros((t.shape[0], 1), jnp.float32)
+        hi = glob_hi
+    else:
+        # clamp the carried bracket into the current global one (the global
+        # hi is a guaranteed-feasible endpoint for the CURRENT t)
+        lo = jnp.clip(bracket[0], 0.0, glob_hi)
+        hi = jnp.clip(bracket[1], lo, glob_hi)
     for _ in range(outer_iters):
         mu = 0.5 * (lo + hi)
         viol = f_of(h_of(mu)) > 1.0
         lo = jnp.where(viol, mu, lo)
         hi = jnp.where(viol, hi, mu)
-    h = h_of(hi)  # hi endpoint is always feasible
-    return jnp.where(feasible, t, h)
+    h = h_of(hi)  # hi endpoint is always feasible when the bracket is valid
+    h = jnp.where(feasible, t, h)
+    if bracket is None:
+        return h
+    # re-widen for the next ADMM iteration: +- one bracket width, floored
+    # at 5% of hi so a bracket that drifted off the root re-opens
+    # geometrically instead of pinching shut around the wrong point
+    w = jnp.maximum(hi - lo, 0.05 * hi + 1e-2)
+    lo_n = jnp.maximum(lo - w, 0.0)
+    hi_n = hi + w
+    big = jnp.float32(3e37)
+    lo_n = jnp.where(feasible, 0.0, lo_n)
+    hi_n = jnp.where(feasible, big, hi_n)  # reset: next clamp -> global
+    return h, (lo_n, hi_n)
 
 
 def _fused_fast_kernel_lean(
     yob_r_ref, yob_i_ref, w_ref, A_ref,
     phi_r_ref, phi_i_ref,
     *, n, kblk, num_iters, rho, lam_inv_sq, hi_steps, outer_iters, inner_iters,
-    schedule, final_hi, ablate="none", loop_unroll=1,
+    schedule, final_hi, ablate="none", loop_unroll=1, fold_diag=False,
+    warm_root=False,
 ):
     """Lean fused solve: the list kernel with its measured glue costs removed.
 
@@ -265,32 +328,53 @@ def _fused_fast_kernel_lean(
     A = jnp.stack([A_ref[k, 0, 0] for k in range(K)]).reshape(K, 1)
 
     def body(_, carry):
-        Gr, Gi, Zr, Zi, _pr, _pi = carry
-        if ablate == "corner":
-            g_r, g_i, z_r, z_i = _pr, _pi, _pr, _pi
+        if warm_root:
+            state, lo_b, hi_b = carry[0], carry[1], carry[2]
         else:
-            # corner column via Hermitian row read (G[0:n, n] = conj(G[n, :]))
-            g_r = jnp.concatenate([Gr[k][n : n + 1, :] for k in range(K)], axis=0)
-            g_i = -jnp.concatenate([Gi[k][n : n + 1, :] for k in range(K)], axis=0)
-            z_r = jnp.concatenate([Zr[k][n : n + 1, :] for k in range(K)], axis=0)
-            z_i = -jnp.concatenate([Zi[k][n : n + 1, :] for k in range(K)], axis=0)
-            g_r, g_i, z_r, z_i = (v * lane_ok for v in (g_r, g_i, z_r, z_i))
-
-        phi_r = w * (yob_r + (g_r if rho1 else rho * g_r) + z_r)  # (K, TILE)
-        phi_i = w * (yob_i + (g_i if rho1 else rho * g_i) + z_i)
-
-        if ablate == "diag":
-            diag = phi_r
+            state = carry
+        if fold_diag:
+            # G planes are not carried at all: the two plane reads of the
+            # baseline body (corner rows of rho G + Z for phi, diag of
+            # G + Z/rho for the H-projection) are exactly rho*A[n, :] and
+            # diag(A) of the PREVIOUS iteration's symmetrized |M| product
+            # (see _polar_psd_fast emit_a_stats), which the finals emitted
+            # into the carry while A was in registers.
+            Zr, Zi, adiag, arow_r, arow_i, _pr, _pi = state
+            phi_r = w * (yob_r + (arow_r if rho1 else rho * arow_r))
+            phi_i = w * (yob_i - (arow_i if rho1 else rho * arow_i))
+            diag = adiag
         else:
-            diag = jnp.concatenate(
-                [
-                    jnp.sum((Gr[k] + zscale(Zr[k])) * eye, axis=0, keepdims=True)
-                    for k in range(K)
-                ],
-                axis=0,
-            )  # (K, TILE)
+            Gr, Gi, Zr, Zi, _pr, _pi = state
+            if ablate == "corner":
+                g_r, g_i, z_r, z_i = _pr, _pi, _pr, _pi
+            else:
+                # corner column via Hermitian row read (G[0:n, n] = conj(G[n, :]))
+                g_r = jnp.concatenate([Gr[k][n : n + 1, :] for k in range(K)], axis=0)
+                g_i = -jnp.concatenate([Gi[k][n : n + 1, :] for k in range(K)], axis=0)
+                z_r = jnp.concatenate([Zr[k][n : n + 1, :] for k in range(K)], axis=0)
+                z_i = -jnp.concatenate([Zi[k][n : n + 1, :] for k in range(K)], axis=0)
+                g_r, g_i, z_r, z_i = (v * lane_ok for v in (g_r, g_i, z_r, z_i))
+
+            phi_r = w * (yob_r + (g_r if rho1 else rho * g_r) + z_r)  # (K, TILE)
+            phi_i = w * (yob_i + (g_i if rho1 else rho * g_i) + z_i)
+
+            if ablate == "diag":
+                diag = phi_r
+            else:
+                diag = jnp.concatenate(
+                    [
+                        jnp.sum((Gr[k] + zscale(Zr[k])) * eye, axis=0, keepdims=True)
+                        for k in range(K)
+                    ],
+                    axis=0,
+                )  # (K, TILE)
         if ablate == "h":
             h = diag * lane_ok
+        elif warm_root:
+            h, (lo_b, hi_b) = _project_sum_inf_block(
+                diag * lane_ok, A, lane_ok, outer_iters, inner_iters,
+                bracket=(lo_b, hi_b),
+            )
         else:
             h = _project_sum_inf_block(
                 diag * lane_ok, A, lane_ok, outer_iters, inner_iters
@@ -319,11 +403,16 @@ def _fused_fast_kernel_lean(
                     row_is_n * (-pi) + pc_i * col_is_n - zscale(Zi[k])
                 )
 
-        Gr2, Gi2 = _polar_psd_fast(
+        psd = _polar_psd_fast(
             Mr, Mi, K, hi_steps, schedule, final_hi, resym_out=False,
             fixed_inv=1.0 / 64.0 if ablate == "norm" else None,
             skip_finals=ablate == "finals",
+            emit_a_stats=n if fold_diag else None,
         )
+        if fold_diag:
+            Gr2, Gi2, (adiag2, arow_r2, arow_i2) = psd
+        else:
+            Gr2, Gi2 = psd
         # Z' = Z + rho (G' - B) = rho (G' - M) since B = M + Z/rho
         if ablate == "zupd":
             Zr2, Zi2 = Gr2, Gi2
@@ -335,21 +424,40 @@ def _fused_fast_kernel_lean(
             Zi2 = [rho * (Gi2[k] - Mi[k]) for k in range(K)]
         # phi carried so the output is the last iteration's phi (computed
         # from the pre-update G/Z), matching admm_solve_fixed
-        return Gr2, Gi2, Zr2, Zi2, phi_r, phi_i
+        if fold_diag:
+            state2 = (Zr2, Zi2, adiag2, arow_r2, arow_i2, phi_r, phi_i)
+        else:
+            state2 = (Gr2, Gi2, Zr2, Zi2, phi_r, phi_i)
+        return (state2, lo_b, hi_b) if warm_root else state2
 
     zeros = [jnp.zeros((TILE, TILE), jnp.float32) for _ in range(K)]
     zrow = jnp.zeros((K, TILE), jnp.float32)
-    Gr, _, _, _, phi_r, phi_i = jax.lax.fori_loop(
+    if fold_diag:
+        # A == 0 at the zero init, so the folded stats start at zero too
+        state0 = (list(zeros), list(zeros), zrow, zrow, zrow, zrow, zrow)
+    else:
+        state0 = (zeros, list(zeros), list(zeros), list(zeros), zrow, zrow)
+    if warm_root:
+        init = (state0,
+                jnp.zeros((K, 1), jnp.float32),
+                jnp.full((K, 1), 3e37, jnp.float32))
+    else:
+        init = state0
+    final = jax.lax.fori_loop(
         0, num_iters,
         body,
-        (zeros, list(zeros), list(zeros), list(zeros), zrow, zrow),
+        init,
         unroll=loop_unroll if loop_unroll > 1 else None,
     )
+    state_f = final[0] if warm_root else final
+    phi_r, phi_i = state_f[-2], state_f[-1]
     phi_r_ref[:, 0, :] = phi_r
     phi_i_ref[:, 0, :] = phi_i
     if ablate != "none":
         # keep the plane-update chain live under any ablation: the debug
-        # output reads every final G plane (see docstring)
+        # output reads every final G plane (see docstring; ablate profiling
+        # is baseline-layout-shape only, so state_f[0] is the G planes)
+        Gr = state_f[0]
         dbg = jnp.concatenate([Gr[k][n : n + 1, :] for k in range(K)], axis=0)
         phi_r_ref[:, 0, :] = phi_r + 0.0 * dbg
 
@@ -434,7 +542,8 @@ def _fused_fast_kernel(
     jax.jit,
     static_argnames=("num_iters", "rho", "lambda_val", "kblk", "hi_steps",
                      "interpret", "outer_iters", "inner_iters", "schedule",
-                     "final_hi", "layout", "ablate", "loop_unroll"),
+                     "final_hi", "layout", "ablate", "loop_unroll",
+                     "fold_diag", "warm_root"),
 )
 def admm_solve_fused_fast(
     y: jnp.ndarray,
@@ -453,6 +562,8 @@ def admm_solve_fused_fast(
     layout: str = "lean",
     ablate: str = "none",
     loop_unroll: int = 1,
+    fold_diag: bool = False,
+    warm_root: bool = False,
 ) -> jnp.ndarray:
     """Fully-fused fast-schedule fixed-iteration solve; phi (B, n) complex.
 
@@ -488,6 +599,10 @@ def admm_solve_fused_fast(
         raise ValueError(f"unknown layout {layout!r}")
     if ablate != "none" and layout != "lean":
         raise ValueError("ablate profiling is lean-layout only")
+    if ablate != "none" and fold_diag:
+        raise ValueError("ablate profiling assumes the unfolded carry layout")
+    if (fold_diag or warm_root) and layout != "lean":
+        raise ValueError("fold_diag/warm_root are lean-layout options")
     kernel = functools.partial(
         _fused_fast_kernel_lean if layout == "lean"
         else _fused_fast_kernel,
@@ -502,7 +617,8 @@ def admm_solve_fused_fast(
         schedule=tuple(schedule),
         final_hi=final_hi,
         **(
-            {"ablate": ablate, "loop_unroll": loop_unroll}
+            {"ablate": ablate, "loop_unroll": loop_unroll,
+             "fold_diag": fold_diag, "warm_root": warm_root}
             if layout == "lean" else {}
         ),
     )

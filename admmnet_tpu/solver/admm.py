@@ -308,6 +308,8 @@ def admm_solve_fixed(
                 schedule=sched, final_hi=opts.fused_final_hi,
                 layout=opts.fused_layout,
                 loop_unroll=opts.fused_unroll,
+                fold_diag=opts.fused_fold_diag,
+                warm_root=opts.fused_warm_root,
             )
             return out.reshape(*batch, n) if batch else out[0]
         import dataclasses as _dc

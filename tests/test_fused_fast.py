@@ -156,3 +156,88 @@ def test_ablate_rejected_on_lists_layout():
         admm_solve_fused_fast(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s),
                               2, kblk=2, interpret=True, layout="lists",
                               ablate="h")
+
+
+def test_fused_fast_fold_diag_matches_baseline():
+    """fold_diag extracts the next iteration's plane reads (diag of
+    G + Z/rho, corner rows of rho G + Z) from the symmetrized |M| product
+    inside the PSD finals instead of re-reading the planes.  In exact
+    arithmetic the two dataflows are identical (G' + Z'/rho == A and
+    rho G' + Z' == rho A when Z' = rho(G' - M) and G' = (M + A)/2); in f32
+    they differ by accumulation noise only -- same band as the lean-vs-lists
+    differential.  Checked at rho=1 (production static folds) and rho!=1."""
+    y, b, s = make_anchor_batch(4, mode="redemod", seed=7)
+    args = (jnp.asarray(y), jnp.asarray(b), jnp.asarray(s))
+    for rho in (1.0, 1.7):
+        kw = dict(num_iters=15, kblk=2, rho=rho, outer_iters=4,
+                  inner_iters=3, final_hi=False, interpret=True)
+        p_base = np.asarray(admm_solve_fused_fast(*args, **kw))
+        p_fold = np.asarray(admm_solve_fused_fast(*args, fold_diag=True, **kw))
+        err = (np.linalg.norm(p_fold - p_base, axis=-1)
+               / np.linalg.norm(p_base, axis=-1))
+        assert err.max() < 1e-3, (rho, err)
+
+
+def test_fused_fast_warm_root_stays_on_floor():
+    """warm_root carries the outer-bisection bracket across ADMM iterations;
+    at 2 bisection steps per iteration the asymptotic bracket is TIGHTER
+    than the cold 3-step one, so phi must stay within the fast mode's
+    accuracy band of the 32-deep cold reference."""
+    y, b, s = make_anchor_batch(4, mode="redemod", seed=8)
+    args = (jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 30)
+    ref = np.asarray(admm_solve_fused_fast(
+        *args, kblk=2, outer_iters=32, interpret=True))
+    warm = np.asarray(admm_solve_fused_fast(
+        *args, kblk=2, outer_iters=2, inner_iters=3, warm_root=True,
+        interpret=True))
+    err = np.linalg.norm(warm - ref, axis=-1) / np.linalg.norm(ref, axis=-1)
+    assert err.max() < 0.05, err
+
+
+def test_fused_fast_fold_warm_combined_detection_band():
+    """Both round-4 rungs together at the production-style settings stay in
+    the fast mode's scale-invariant NMSE band vs the conservative fused
+    reference (the same band test the short schedules pass)."""
+    from admmnet_tpu.ops.projections import POLAR_BF16_SCHED2
+
+    y, b, s = make_anchor_batch(4, mode="redemod", seed=3)
+    args = (jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 30)
+    ref = np.asarray(admm_solve_fused_fast(*args, kblk=4, interpret=True))
+
+    def si_nmse(a, bb):
+        num = np.sum(np.conj(bb) * a, -1, keepdims=True)
+        den = np.sum(np.abs(bb) ** 2, -1, keepdims=True)
+        proj = num / den * bb
+        return np.max(np.sum(np.abs(a - proj) ** 2, -1)
+                      / np.sum(np.abs(a) ** 2, -1))
+
+    phi = np.asarray(admm_solve_fused_fast(
+        *args, kblk=4, interpret=True, outer_iters=2, inner_iters=2,
+        schedule=POLAR_BF16_SCHED2, final_hi=False, fold_diag=True,
+        warm_root=True))
+    assert si_nmse(phi, ref) < 0.2
+
+
+def test_solver_dispatch_passes_round4_knobs(monkeypatch):
+    """ADMMOptions.fused_fold_diag / fused_warm_root reach the kernel."""
+    import admmnet_tpu.kernels.fused_admm_fast as ff
+    import admmnet_tpu.solver.admm as solver_mod
+
+    seen = {}
+
+    def fake(y, b, s, num_iters, rho, lam, **kw):
+        seen.update(kw)
+        return jnp.zeros_like(y)
+
+    monkeypatch.setattr(ff, "admm_solve_fused_fast", fake)
+    monkeypatch.setattr(
+        solver_mod.jax, "default_backend", lambda: "tpu", raising=True
+    )
+    y, b, s = make_anchor_batch(2, mode="redemod", seed=5)
+    opts = ADMMOptions(g_update="fused_fast", fused_fold_diag=True,
+                       fused_warm_root=True, fused_proj_iters=2)
+    admm_solve_fixed(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 3,
+                     1.0, opts)
+    assert seen["fold_diag"] is True
+    assert seen["warm_root"] is True
+    assert seen["outer_iters"] == 2
