@@ -37,6 +37,9 @@ def build_parser():
     p.add_argument("--cheb-precision", default="highest",
                    choices=["highest", "default"],
                    help="Clenshaw matmul precision (default = one-pass bf16)")
+    p.add_argument("--cheb-impl", default="xla", choices=["xla", "pallas"],
+                   help="Clenshaw engine: xla or the fused one-pass Pallas "
+                        "kernel (kernels/cheb_filter.py, inference only)")
     p.add_argument("--head", default="spectrum",
                    choices=["attention", "spectrum"],
                    help="peak head (--what e2e)")
@@ -109,7 +112,8 @@ def main(argv=None):
         mcfg = ModelConfig(spec=ProblemSpec(), num_layers=args.layers,
                            g_mode=args.g_mode, head=args.head,
                        cheb_degree=args.cheb_degree,
-                       cheb_precision=args.cheb_precision)
+                       cheb_precision=args.cheb_precision,
+                       cheb_impl=args.cheb_impl)
         model = (ADMMNet if e2e else PhiEstADMMNet)(cfg=mcfg)
         params = cjit(lambda k, y, b, s: model.init(k, y, b, s))(
             jax.random.PRNGKey(0), y[:1], b[:1], sigma[:1]

@@ -25,6 +25,9 @@ def build_parser():
     p.add_argument("--cheb-precision", default="highest",
                    choices=["highest", "default"],
                    help="Clenshaw matmul precision (default = one-pass bf16)")
+    p.add_argument("--cheb-impl", default="xla", choices=["xla", "pallas"],
+                   help="Clenshaw engine: xla or the fused one-pass Pallas "
+                        "kernel (kernels/cheb_filter.py, inference only)")
     p.add_argument("--head", default="attention",
                    choices=["attention", "spectrum"],
                    help="e2e ADMMNet peak head variant")
@@ -64,6 +67,7 @@ def _eval_e2e(args):
                        g_mode=args.g_mode, head=args.head,
                        cheb_degree=args.cheb_degree,
                        cheb_precision=args.cheb_precision,
+                       cheb_impl=args.cheb_impl,
                        learned_sensing=args.learned_sensing)
     model = ADMMNet(cfg=mcfg)
     params = cjit(lambda k, y, b, s: model.init(k, y, b, s))(
@@ -128,6 +132,7 @@ def main(argv=None):
                        g_mode=args.g_mode, head=args.head,
                        cheb_degree=args.cheb_degree,
                        cheb_precision=args.cheb_precision,
+                       cheb_impl=args.cheb_impl,
                        learned_sensing=args.learned_sensing)
     model = PhiEstADMMNet(cfg=mcfg)
     params = cjit(lambda k, y, b, s: model.init(k, y, b, s))(

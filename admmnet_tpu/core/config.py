@@ -234,6 +234,14 @@ class ModelConfig:
     # passes per f32 matmul) or "default" (ONE bf16 pass + per-step Hermitian
     # re-projection -- the polar-kernel trade; quality-gate before deploying)
     cheb_precision: str = "highest"
+    # Clenshaw evaluation engine for g_mode="chebyshev": "xla" (lax.scan of
+    # batched matmuls at cheb_precision) or "pallas" (fused one-pass kernel,
+    # kernels/cheb_filter.py: K-interleaved instances, VMEM-resident
+    # carries, in-register Hermitian re-projection -- INFERENCE ONLY, the
+    # kernel has no reverse AD; falls back to the XLA one-pass path
+    # off-TPU).  Identical learned-filter math; the engines differ only in
+    # matmul precision/scheduling.
+    cheb_impl: str = "xla"
     # Peak head for the e2e ADMMNet: "attention" (reference parity,
     # admm_net.py:494-630: direct (tau, f) regression) or "spectrum"
     # (extension: differentiable coarse-to-fine spectral search with a

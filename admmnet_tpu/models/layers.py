@@ -114,6 +114,9 @@ class GLayer(nn.Module):
     mode: str = "eigh"  # "eigh" | "chebyshev"
     cheb_degree: int = 48
     cheb_precision: str = "highest"  # "highest" | "default" (one-pass bf16)
+    # "xla" | "pallas" (fused one-pass kernel, inference only -- see
+    # kernels/cheb_filter.py and core.config.ModelConfig.cheb_impl)
+    cheb_impl: str = "xla"
 
     @nn.compact
     def __call__(self, phi, h, Z):
@@ -145,6 +148,15 @@ class GLayer(nn.Module):
         M = B - Z / (rho + self.epsilon)
 
         if self.mode == "chebyshev":
+            if self.cheb_impl == "pallas":
+                from admmnet_tpu.kernels.cheb_filter import (
+                    apply_spectral_filter_pallas,
+                )
+
+                G = apply_spectral_filter_pallas(
+                    hermitianize(M), spectral_filter, self.cheb_degree
+                )
+                return hermitianize(G)
             from admmnet_tpu.ops.chebyshev import apply_spectral_filter
 
             G = apply_spectral_filter(
