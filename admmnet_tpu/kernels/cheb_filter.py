@@ -63,6 +63,12 @@ def _cheb_kernel(mr_ref, mi_ref, c_ref, rinv_ref, gr_ref, gi_ref,
     rinv = [rinv_ref[k, 0, 0] for k in range(K)]
     Ar = [mr_ref[k] * rinv[k] for k in range(K)]
     Ai = [mi_ref[k] * rinv[k] for k in range(K)]
+    crow = [c_ref[k] for k in range(K)]  # (1, TILE) coefficient rows
+
+    def cval(k, j):
+        # (1, 1) static lane slice; broadcasts over (TILE, TILE) as a splat
+        # (scalar extraction from VMEM is the shakier Mosaic path)
+        return jax.lax.slice(crow[k], (0, j), (1, j + 1))
 
     def cmul(Br, Bi, hi=False):
         """Karatsuba complex product (Ar + i Ai) @ (Br + i Bi), K-blocked."""
@@ -80,7 +86,7 @@ def _cheb_kernel(mr_ref, mi_ref, c_ref, rinv_ref, gr_ref, gi_ref,
     b2i = [zero] * K
     for step, j in enumerate(range(degree - 1, 0, -1)):
         Pr, Pi = cmul(b1r, b1i)
-        b0r = [c_ref[k, 0, j] * eye + 2.0 * Pr[k] - b2r[k] for k in range(K)]
+        b0r = [cval(k, j) * eye + 2.0 * Pr[k] - b2r[k] for k in range(K)]
         b0i = [2.0 * Pi[k] - b2i[k] for k in range(K)]
         # Hermitian re-projection (exact-math no-op; kills one-pass noise)
         b0r = [0.5 * (b0r[k] + b0r[k].T) for k in range(K)]
@@ -88,7 +94,7 @@ def _cheb_kernel(mr_ref, mi_ref, c_ref, rinv_ref, gr_ref, gi_ref,
         b2r, b2i = b1r, b1i
         b1r, b1i = b0r, b0i
     Pr, Pi = cmul(b1r, b1i, final_hi)
-    outr = [c_ref[k, 0, 0] * eye + Pr[k] - b2r[k] for k in range(K)]
+    outr = [cval(k, 0) * eye + Pr[k] - b2r[k] for k in range(K)]
     outi = [Pi[k] - b2i[k] for k in range(K)]
     outr = [0.5 * (outr[k] + outr[k].T) for k in range(K)]
     outi = [0.5 * (outi[k] - outi[k].T) for k in range(K)]
