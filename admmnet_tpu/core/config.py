@@ -242,6 +242,8 @@ class ModelConfig:
     # off-TPU).  Identical learned-filter math; the engines differ only in
     # matmul precision/scheduling.
     cheb_impl: str = "xla"
+    # instances per program for cheb_impl="pallas" (MXU pipeline interleave)
+    cheb_kblk: int = 8
     # Peak head for the e2e ADMMNet: "attention" (reference parity,
     # admm_net.py:494-630: direct (tau, f) regression) or "spectrum"
     # (extension: differentiable coarse-to-fine spectral search with a

@@ -117,6 +117,7 @@ class GLayer(nn.Module):
     # "xla" | "pallas" (fused one-pass kernel, inference only -- see
     # kernels/cheb_filter.py and core.config.ModelConfig.cheb_impl)
     cheb_impl: str = "xla"
+    cheb_kblk: int = 8
 
     @nn.compact
     def __call__(self, phi, h, Z):
@@ -154,7 +155,8 @@ class GLayer(nn.Module):
                 )
 
                 G = apply_spectral_filter_pallas(
-                    hermitianize(M), spectral_filter, self.cheb_degree
+                    hermitianize(M), spectral_filter, self.cheb_degree,
+                    kblk=self.cheb_kblk,
                 )
                 return hermitianize(G)
             from admmnet_tpu.ops.chebyshev import apply_spectral_filter

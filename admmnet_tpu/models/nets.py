@@ -79,6 +79,7 @@ class _Trunk(nn.Module):
                 cheb_degree=cfg.cheb_degree,
                 cheb_precision=cfg.cheb_precision,
                 cheb_impl=cfg.cheb_impl,
+                cheb_kblk=cfg.cheb_kblk,
                 name=f"g_{k}",
             )(phi, h, Z)
             Z = ZLayer(

@@ -1,0 +1,141 @@
+"""Round-4 net-forward measurement: fused one-pass Clenshaw vs XLA
+(VERDICT r3 weak-4 / round-2 task 5's second half).
+
+One process, incremental prints:
+
+1. standalone filter kernel timing on (2048, 101, 101) planes, kblk
+   {8, 16, 32} vs the XLA HIGHEST and XLA one-pass evaluations;
+2. net-10 phi-trunk forward, B=2048: cheb_impl xla (the 13k-layers/s
+   production row) vs pallas -- the deployment number;
+3. quality gate: e2e ADMMNet (spectrum head, runs/spec50k checkpoint) on
+   512 rand50k test scenes, position-matched F1 xla vs pallas.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python runs/net_r04.py
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from admmnet_tpu.core.config import ModelConfig, ProblemSpec
+from admmnet_tpu.data.anchor import make_anchor_batch
+from admmnet_tpu.data.generator import DatasetGenerator
+from admmnet_tpu.kernels.cheb_filter import cheb_filter_matrices
+from admmnet_tpu.models import ADMMNet, PhiEstADMMNet
+from admmnet_tpu.ops.chebyshev import apply_spectral_filter
+from admmnet_tpu.peaks import match_peaks
+from admmnet_tpu.train.checkpoint import restore_checkpoint
+from admmnet_tpu.utils.host import cjit, to_host
+from admmnet_tpu.utils.retry import device_retry
+
+OUT = {}
+B = 2048
+DEG = 48
+REP = 3
+
+# --- 1. standalone filter kernel -----------------------------------------
+rng = np.random.default_rng(0)
+Xr = rng.normal(size=(B, 101, 101)).astype(np.float32)
+Xi = rng.normal(size=(B, 101, 101)).astype(np.float32)
+coef = (rng.normal(size=(B, DEG)) * 0.1).astype(np.float32)
+mk = cjit(lambda xr, xi: ((xr + xr.transpose(0, 2, 1)) / 2
+                          + 1j * (xi - xi.transpose(0, 2, 1)) / 2))
+M_dev = mk(Xr, Xi)
+stage = cjit(lambda c: c * 1.0)
+c_dev = stage(coef)
+
+
+def time_fn(fn, *args):
+    fetch = device_retry(lambda: float(fn(*args)))
+    t0 = time.time()
+    fetch()
+    comp = time.time() - t0
+    best = np.inf
+    for _ in range(REP):
+        t0 = time.time()
+        fetch()
+        best = min(best, time.time() - t0)
+    return best, comp
+
+
+for kblk in (8, 16, 32):
+    fn = cjit(lambda M, c, kb=kblk: jnp.sum(jnp.abs(
+        cheb_filter_matrices(M, c, DEG, kblk=kb))))
+    best, comp = time_fn(fn, M_dev, c_dev)
+    OUT[f"filter_pallas_k{kblk}"] = {
+        "ms_per_2048": round(best * 1e3, 2), "compile_s": round(comp, 1)}
+    print(f"[1] pallas k{kblk}: {best*1e3:.2f} ms /2048 (compile {comp:.0f}s)",
+          flush=True)
+
+
+def xla_eval(M, c_unused, prec):
+    # same polynomial via the XLA engine; filter samples already folded into
+    # coefficients is the kernel's contract, so here use an equivalent-cost
+    # fixed filter
+    return jnp.sum(jnp.abs(apply_spectral_filter(
+        M, lambda w: jax.nn.softplus(w - 0.3), DEG, precision=prec)))
+
+
+for name, prec in (("highest", None),
+                   ("onepass", jax.lax.Precision.DEFAULT)):
+    fn = cjit(lambda M, c, p=prec: xla_eval(M, c, p))
+    best, comp = time_fn(fn, M_dev, c_dev)
+    OUT[f"filter_xla_{name}"] = {
+        "ms_per_2048": round(best * 1e3, 2), "compile_s": round(comp, 1)}
+    print(f"[1] xla {name}: {best*1e3:.2f} ms /2048 (compile {comp:.0f}s)",
+          flush=True)
+
+# --- 2. net-10 phi-trunk forward -----------------------------------------
+y, b, s = make_anchor_batch(B, mode="redemod", seed=0)
+for impl, kblk in (("xla", 0), ("pallas", 8), ("pallas", 16)):
+    mcfg = ModelConfig(spec=ProblemSpec(), num_layers=10, g_mode="chebyshev",
+                      cheb_impl=impl, cheb_kblk=kblk or 8)
+    model = PhiEstADMMNet(cfg=mcfg)
+    params = cjit(lambda k, yy, bb, ss: model.init(k, yy, bb, ss))(
+        jax.random.PRNGKey(0), y[:1], b[:1], s[:1])
+    fn = cjit(lambda yy, bb, ss, m=model, p=params: jnp.sum(jnp.abs(
+        m.apply(p, yy, bb, ss))))
+    best, comp = time_fn(fn, y, b, s)
+    tag = impl if impl == "xla" else f"{impl}_k{kblk}"
+    OUT[f"net10_{tag}"] = {
+        "s_per_2048_forward": round(best, 4),
+        "layers_per_s": round(B * 10 / best, 1),
+        "compile_s": round(comp, 1),
+    }
+    print(f"[2] net10 {tag}: {best:.3f} s /2048 forward = "
+          f"{B*10/best:,.0f} layers/s (compile {comp:.0f}s)", flush=True)
+
+# --- 3. quality gate on the spec50k checkpoint ---------------------------
+gen = DatasetGenerator(data_dir="data/rand50k")
+test = gen.load_split("test")
+n = min(512, test["y"].shape[0])
+test = {k: v[:n] for k, v in test.items()}
+for impl in ("xla", "pallas"):
+    mcfg = ModelConfig(spec=ProblemSpec(), num_layers=10, g_mode="chebyshev",
+                      head="spectrum", cheb_impl=impl)
+    model = ADMMNet(cfg=mcfg)
+    p0 = cjit(lambda k, yy, bb, ss: model.init(k, yy, bb, ss))(
+        jax.random.PRNGKey(0), test["y"][:2], test["b"][:2],
+        test["sigma"][:2])
+    restored = restore_checkpoint("runs/spec50k", {"params": p0,
+                                                   "opt_state": None})
+    params = restored[0]["params"]
+    tau, f, conf = device_retry(lambda m=model, p=params: to_host(cjit(
+        lambda p_, yy, bb, ss: m.apply(p_, yy, bb, ss)[:3]
+    )(p, test["y"], test["b"], test["sigma"])))()
+    order = np.argsort(-conf, axis=-1)
+    rows = np.arange(n)[:, None]
+    tau, f, conf = tau[rows, order], f[rows, order], conf[rows, order]
+    st = match_peaks(tau, f, test["tau"], test["f"], 0.05, 0.05,
+                     pred_valid=conf > 0.5)
+    OUT[f"e2e_gate_{impl}"] = {"f1": round(st["f1"], 4),
+                               "tau_rmse": round(st["tau_rmse"], 5),
+                               "f_rmse": round(st["f_rmse"], 5)}
+    print(f"[3] e2e {impl}: {OUT[f'e2e_gate_{impl}']}", flush=True)
+
+print(json.dumps(OUT))
+with open("results/r04/net_r04.json", "w") as fj:
+    json.dump(OUT, fj, indent=2)
