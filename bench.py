@@ -9,7 +9,11 @@ Protocol (mirrors reference test/test_time_admm.py:85-110, batched):
 - BENCH_BATCH independent anchor instances (fresh demod + channel noise per
   instance), BENCH_ITERS ADMM iterations each (the reference's max_iter=100
   budget), scan-based fixed-iteration path (no host sync inside).
-- value = instance-iterations per second on one chip.
+- value = instance-iterations per second on one chip, DEVICE-RESIDENT
+  inputs (the reference brackets only the solve on in-memory data,
+  test_time_admm.py:90-93; the tunnel's ~240 ms/call input transfer at
+  B=8192 is relay overhead, reported separately as host_args_iter_s /
+  input_transfer_ms_per_call).
 - baseline = 190 iterations/s: the reference's implied classical throughput
   (BASELINE.md; mean 0.5244 s per <=100-iteration solve).
 - quality gate: peaks of 8 solved instances must localize the 3 true targets
@@ -86,12 +90,30 @@ def main():
     float(fx(y, b, sigma))
     compile_s = time.time() - t0
 
+    # Device-resident inputs (round-4 protocol): the reference brackets only
+    # the solve on data already in process memory (test_time_admm.py:90-93);
+    # feeding host numpy each call adds a measured ~240 ms/call of TUNNEL
+    # INPUT TRANSFER at B=8192 (results/r04/post_r04a.json section D) that
+    # is relay overhead, not solve time.  The artifact reports the
+    # device-resident number as the headline and the host-args number +
+    # per-call transfer cost alongside.
+    stage = cjit(lambda y, b, s: (y * 1.0, b * 1.0, s * 1.0))
+    y_d, b_d, s_d = stage(y, b, sigma)
+    float(fx(y_d, b_d, s_d))  # warm: device-arg call path traces separately
+
     best = np.inf
     for _ in range(REPEATS):
         t0 = time.time()
-        float(fx(y, b, sigma))
+        float(fx(y_d, b_d, s_d))
         best = min(best, time.time() - t0)
     ips = B * ITERS / best
+
+    best_host = np.inf
+    for _ in range(max(1, REPEATS - 1)):
+        t0 = time.time()
+        float(fx(y, b, sigma))
+        best_host = min(best_host, time.time() - t0)
+    host_ips = B * ITERS / best_host
 
     # Same-session pinned-config control (round-3 verdict, missing-3): the
     # round artifacts cannot distinguish real kernel progress from the
@@ -110,11 +132,11 @@ def main():
                 jnp.abs(admm_solve_fixed(y, b, s, ITERS, 1.0, pinned_opts))
             )
         )
-        float(fp_(y, b, sigma))  # compile
+        float(fp_(y_d, b_d, s_d))  # compile + warm
         best_p = np.inf
         for _ in range(REPEATS):
             t0 = time.time()
-            float(fp_(y, b, sigma))
+            float(fp_(y_d, b_d, s_d))
             best_p = min(best_p, time.time() - t0)
         pinned_ips = B * ITERS / best_p
         pinned_fields = {
@@ -272,6 +294,10 @@ def main():
                 ),
                 "compile_s": round(compile_s, 1),
                 "best_run_s": round(best, 3),
+                "host_args_iter_s": round(host_ips, 1),
+                "input_transfer_ms_per_call": round(
+                    (best_host - best) * 1e3, 1
+                ),
                 "quality_f1": round(stats["f1"], 4),
                 "tau_rmse": round(stats["tau_rmse"], 5),
                 "f_rmse": round(stats["f_rmse"], 5),
