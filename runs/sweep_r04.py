@@ -117,6 +117,31 @@ out["anchor_gate"] = {
 }
 print(f"[anchor] {out['anchor_gate']}", flush=True)
 
+# --- one-iteration layout differential (closes the invariant question) ---
+# A broken lean assembly/Hermitian invariant would show up as a
+# PER-ITERATION systematic difference between the layouts; chaotic bf16
+# trajectory divergence needs many iterations to accumulate.  The output
+# phi is computed from the PREVIOUS iteration's state, so iters=2 is the
+# first point where one full assembly+PSD+Z pass reaches the output: a
+# broken invariant shows ~1e-2 there, single-pass noise ~1e-4 or less.
+from admmnet_tpu.kernels.fused_admm_fast import admm_solve_fused_fast
+from admmnet_tpu.ops.projections import POLAR_BF16_SCHED2
+
+for ni in (2, 5):
+    outs = {}
+    for layout in ("lean", "lists"):
+        fn = cjit(lambda yy, bb, ss, lo=layout, n=ni: admm_solve_fused_fast(
+            yy, bb, ss, n, kblk=16, layout=lo, outer_iters=4, inner_iters=3,
+            schedule=POLAR_BF16_SCHED2, final_hi=False))
+        outs[layout] = device_retry(
+            lambda fn=fn: to_host(fn(y[:64], b[:64], s[:64])))()
+    num = np.linalg.norm(outs["lean"] - outs["lists"], axis=-1)
+    den = np.maximum(np.linalg.norm(outs["lists"], axis=-1), 1e-30)
+    out[f"layout_diff_iter{ni}"] = {
+        "rel_err_max": float(f"{(num / den).max():.3e}"),
+        "rel_err_mean": float(f"{(num / den).mean():.3e}")}
+    print(f"[layout] {ni} iter: {out[f'layout_diff_iter{ni}']}", flush=True)
+
 RB = 512
 raw = generate_batch(jax.random.PRNGKey(42), DataConfig(), RB)
 ry, rb, rs = raw["y"], raw["b"], raw["sigma"]
