@@ -90,6 +90,9 @@ for name, prec in (("highest", None),
 
 # --- 2. net-10 phi-trunk forward -----------------------------------------
 y, b, s = make_anchor_batch(B, mode="redemod", seed=0)
+_stage = cjit(lambda yy, bb, ss: (yy * 1.0, bb * 1.0, ss * 1.0))
+y, b, s = _stage(y, b, s)  # device-resident (tunnel transfer ~40 ms/call
+# at this size would read as 20% on a ~0.2 s fused forward)
 for impl, kblk in (("xla", 0), ("pallas", 8), ("pallas", 16)):
     mcfg = ModelConfig(spec=ProblemSpec(), num_layers=10, g_mode="chebyshev",
                       cheb_impl=impl, cheb_kblk=kblk or 8)

@@ -41,6 +41,11 @@ ITERS = 100
 REP = 3
 
 y, b, s = make_anchor_batch(B, mode="redemod", seed=0)
+# device-resident inputs (round-4 protocol, results/r04/post_r04a.json D:
+# host-fed args cost ~240 ms/call of tunnel transfer at B=8192, a constant
+# that would dilute candidate contrasts)
+_stage = cjit(lambda y, b, s: (y * 1.0, b * 1.0, s * 1.0))
+y, b, s = _stage(y, b, s)
 out = {}
 
 
