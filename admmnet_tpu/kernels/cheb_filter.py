@@ -150,11 +150,12 @@ def cheb_filter_matrices(
     scal = pl.BlockSpec(
         (kblk, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
     )
-    compiler_params = None
-    if kblk > 16:
-        compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=kblk * (1 << 20) + (8 << 20)
-        )
+    # ~0.85 MB of scoped VMEM per interleaved instance (Mh/b1/b2/b0 plane
+    # pairs + Karatsuba temps); the default 16 MB limit already fails at
+    # kblk=16 (measured: remote compile HTTP 500), so scale it explicitly.
+    compiler_params = pltpu.CompilerParams(
+        vmem_limit_bytes=kblk * ((1 << 20) + (1 << 19)) + (16 << 20)
+    )
     Gr, Gi = pl.pallas_call(
         kernel,
         grid=(B // kblk,),

@@ -49,7 +49,8 @@ c_dev = stage(coef)
 
 
 def time_fn(fn, *args):
-    fetch = device_retry(lambda: float(fn(*args)))
+    # short retry budget: a compile-error 500 is permanent; don't burn 300 s
+    fetch = device_retry(lambda: float(fn(*args)), attempts=2, cooldown_s=60)
     t0 = time.time()
     fetch()
     comp = time.time() - t0
@@ -64,7 +65,12 @@ def time_fn(fn, *args):
 for kblk in (8, 16, 32):
     fn = cjit(lambda M, c, kb=kblk: jnp.sum(jnp.abs(
         cheb_filter_matrices(M, c, DEG, kblk=kb))))
-    best, comp = time_fn(fn, M_dev, c_dev)
+    try:
+        best, comp = time_fn(fn, M_dev, c_dev)
+    except Exception as e:  # noqa: BLE001 - one bad config must not kill
+        OUT[f"filter_pallas_k{kblk}"] = {"error": str(e)[:200]}
+        print(f"[1] pallas k{kblk}: FAILED {str(e)[:120]}", flush=True)
+        continue
     OUT[f"filter_pallas_k{kblk}"] = {
         "ms_per_2048": round(best * 1e3, 2), "compile_s": round(comp, 1)}
     print(f"[1] pallas k{kblk}: {best*1e3:.2f} ms /2048 (compile {comp:.0f}s)",
@@ -101,8 +107,13 @@ for impl, kblk in (("xla", 0), ("pallas", 8), ("pallas", 16)):
         jax.random.PRNGKey(0), y[:1], b[:1], s[:1])
     fn = cjit(lambda yy, bb, ss, m=model, p=params: jnp.sum(jnp.abs(
         m.apply(p, yy, bb, ss))))
-    best, comp = time_fn(fn, y, b, s)
     tag = impl if impl == "xla" else f"{impl}_k{kblk}"
+    try:
+        best, comp = time_fn(fn, y, b, s)
+    except Exception as e:  # noqa: BLE001
+        OUT[f"net10_{tag}"] = {"error": str(e)[:200]}
+        print(f"[2] net10 {tag}: FAILED {str(e)[:120]}", flush=True)
+        continue
     OUT[f"net10_{tag}"] = {
         "s_per_2048_forward": round(best, 4),
         "layers_per_s": round(B * 10 / best, 1),
