@@ -118,8 +118,19 @@ class ADMMOptions:
     # K16/4-3 641.8k, K24/3-2 675.7k, K32/4-3 657.0k, **K32/3-2 768.7k**
     # inst-iter/s (+19.8% over the round-2 defaults measured the same
     # session; results/r03/sweep_gate.json + sweep_k16.json).
+    # Round-4 production point: K=32 + warm-rooted 2-step outer bisection +
+    # folded plane reads (fused_warm_root/fused_fold_diag below).
+    # Same-session B=8192 device-resident grid (results/r04/sweep_r04.json +
+    # gate_r04.json): k32_3_2 1,083,720 -> k32_2_2_wf **1,128,088 (+4.1%)**
+    # with anchor F1 1.0, 512 random-SNR scenes F1 0.8639 vs the exact-eigh
+    # control's 0.8646 (1-2 detections, inside the chaotic-trajectory band
+    # of RESULTS 3.4), and anchor phi NMSE vs eigh 12x TIGHTER than the
+    # round-3 point (0.060 vs 0.774 -- the warm bracket is asymptotically
+    # tighter than the cold 3-step bisection).  The faster 1-bisection
+    # variant (1,154,584) FAILS detection (anchor 0.958, random 0.8522)
+    # and is excluded; K=48/64 do not beat K=32.
     fused_kblk: int = 32
-    fused_proj_iters: int = 3
+    fused_proj_iters: int = 2
     fused_inner_iters: int = 2
     fused_schedule: str = "sched2"  # "full" | "sched3" | "sched2"
     fused_final_hi: bool = False
@@ -145,8 +156,8 @@ class ADMMOptions:
     #     fused_proj_iters times, and re-widens with a 5%-of-hi floor so a
     #     drifted root is re-acquired geometrically.  Lets proj_iters run
     #     at 2 with asymptotically TIGHTER brackets than the cold 3-step.
-    fused_fold_diag: bool = False
-    fused_warm_root: bool = False
+    fused_fold_diag: bool = True
+    fused_warm_root: bool = True
 
     def __post_init__(self):
         if self.phi_update not in ("diag", "ref_dense"):
