@@ -125,7 +125,8 @@ def main():
     pinned_fields = {}
     if G_MODE == "fused_fast" and int(os.environ.get("BENCH_PINNED", 1)):
         pinned_opts = dataclasses.replace(
-            opts, fused_kblk=16, fused_proj_iters=4, fused_inner_iters=3
+            opts, fused_kblk=16, fused_proj_iters=4, fused_inner_iters=3,
+            fused_warm_root=False, fused_fold_diag=False,
         )
         fp_ = cjit(
             lambda y, b, s: jnp.sum(
