@@ -241,3 +241,17 @@ def test_solver_dispatch_passes_round4_knobs(monkeypatch):
     assert seen["fold_diag"] is True
     assert seen["warm_root"] is True
     assert seen["outer_iters"] == 2
+
+
+def test_round4_production_defaults_pinned():
+    """The shipped ADMMOptions production point is the gated round-4 config
+    (results/r04/sweep_r04.json + gate_r04.json): K=32, warm-rooted 2-step
+    outer bisection, folded plane reads.  A drive-by change to these
+    defaults must consciously re-run the gates."""
+    o = ADMMOptions()
+    assert o.fused_kblk == 32
+    assert (o.fused_proj_iters, o.fused_inner_iters) == (2, 2)
+    assert o.fused_warm_root is True
+    assert o.fused_fold_diag is True
+    assert o.fused_schedule == "sched2"
+    assert o.fused_layout == "lean"
