@@ -86,11 +86,11 @@ class ADMMOptions:
     # where VPU traffic could genuinely dominate.
     polar_bf16_store: bool = False
     # fused_fast only (kernels/fused_admm_fast.py: whole fixed-iteration
-    # solve in one Pallas call).  Defaults are the measured 2026-08-19
-    # production point -- 670.8k inst-iter/s at B=2048 x 100 iters (3531x
-    # the reference), gated on 64-instance anchor detection (F1 1.0) and 64
-    # random-SNR scenes where F1 equals the exact-eigh control (0.8490) --
-    # reached by three accuracy-for-speed trades the outer ADMM provably
+    # solve in one Pallas call).  Defaults are the round-4 production
+    # point -- 1,131,309 inst-iter/s at B=8192 x 100, device-resident
+    # (5954x the reference), gated on anchor detection (F1 1.0) and
+    # random-SNR scenes vs the exact-eigh control (RESULTS.md 3.7) --
+    # reached by accuracy-for-speed trades the outer ADMM provably
     # tolerates (each gate-checked independently, see RESULTS.md 3.5):
     #   fused_schedule: PSD sign-polynomial schedule.  "full" = the 6-step
     #     POLAR_BF16_SCHEDULE (polar_fast parity, phi NMSE vs eigh ~7e-2);
