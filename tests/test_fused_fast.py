@@ -255,3 +255,59 @@ def test_round4_production_defaults_pinned():
     assert o.fused_fold_diag is True
     assert o.fused_schedule == "sched2"
     assert o.fused_layout == "lean"
+
+
+def test_warm_bracket_recovers_from_drift():
+    """The carried bracket must re-acquire the root when the projection
+    input drifts (the widening floor's purpose): project a sequence whose
+    scale jumps 1.5x mid-sequence and check the final h still satisfies
+    the constraint to the shallow-bisection band.
+
+    Domain note (measured): the widening floor is 5% of hi per iteration,
+    so recovery from a root jump of factor r takes ~log(r)/log(1.05)
+    iterations -- fine for the kernel's actual use (the bracket never
+    carries ACROSS solves, and within a solve the diag input evolves by
+    the ADMM step size), but a 10x discontinuity would need ~50
+    iterations.  The production gates (results/r04/gate_r04.json) certify
+    the real-trajectory behavior."""
+    import jax
+
+    from admmnet_tpu.kernels.fused_admm_fast import _project_sum_inf_block
+
+    rng = np.random.default_rng(0)
+    K, TILE, n = 4, 128, 100
+    lane_ok = (np.arange(TILE) < n).astype(np.float32)[None, :]
+    A = np.full((K, 1), 2.0, np.float32)
+    lo = jnp.zeros((K, 1), jnp.float32)
+    hi = jnp.full((K, 1), 3e37, jnp.float32)
+    for step in range(24):
+        scale = 2.0 if step < 12 else 3.0  # realistic drift magnitude
+        # positive entries -> A*max + sum >> 1, the constraint binds and
+        # the outer root is strictly positive (zero-mean t is trivially
+        # feasible via a negative sum and never exercises the bracket)
+        t = jnp.asarray(
+            np.abs(rng.normal(size=(K, TILE)) * scale).astype(np.float32)
+            * lane_ok
+        )
+        h, (lo, hi) = _project_sum_inf_block(
+            t, jnp.asarray(A), jnp.asarray(lane_ok), 2, 3, bracket=(lo, hi)
+        )
+    # the design claim, measured: against a 32/8-deep cold oracle on the
+    # FINAL draw, the warm 2-step result is tighter than a cold 2-step
+    # bisection from the global bracket (whose width is ~the loose
+    # 0.5*sum(t^2)+1 bound / 4)
+    h_deep = _project_sum_inf_block(
+        t, jnp.asarray(A), jnp.asarray(lane_ok), 32, 8
+    )
+    h_cold2 = _project_sum_inf_block(
+        t, jnp.asarray(A), jnp.asarray(lane_ok), 2, 3
+    )
+
+    def rel(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return np.linalg.norm(a - b, axis=-1) / np.linalg.norm(b, axis=-1)
+
+    assert np.all(rel(h, h_deep) < rel(h_cold2, h_deep)), (
+        rel(h, h_deep), rel(h_cold2, h_deep)
+    )
+    assert rel(h, h_deep).max() < 0.5
