@@ -129,6 +129,12 @@ class ADMMOptions:
     # tighter than the cold 3-step bisection).  The faster 1-bisection
     # variant (1,154,584) FAILS detection (anchor 0.958, random 0.8522)
     # and is excluded; K=48/64 do not beat K=32.
+    # COUPLING (ADVICE r4): the 2-step outer depth is gate-certified only
+    # JOINTLY with fused_warm_root=True (the warm bracket is what makes 2
+    # bisections asymptotically tighter than the cold 3-step; sweep_r04's
+    # shallow-cold variants were never gated).  If you disable
+    # fused_warm_root, raise fused_proj_iters to >= 3 (the round-3
+    # certified cold point) or re-gate on >= 512 random-SNR scenes.
     fused_kblk: int = 32
     fused_proj_iters: int = 2
     fused_inner_iters: int = 2
@@ -264,6 +270,19 @@ class ModelConfig:
     head_refine_rounds: int = 3
     head_refine_points: int = 11
     head_reduce_factor: float = 0.2
+
+    def __post_init__(self):
+        # Typo-proofing (ADVICE r4): GLayer dispatches on string equality, so
+        # e.g. cheb_impl='Pallas' would silently run the XLA engine and a
+        # benchmark/deploy config could measure the wrong engine.
+        if self.g_mode not in ("eigh", "chebyshev"):
+            raise ValueError(f"unknown g_mode {self.g_mode!r}")
+        if self.cheb_impl not in ("xla", "pallas"):
+            raise ValueError(f"unknown cheb_impl {self.cheb_impl!r}")
+        if self.cheb_precision not in ("highest", "default"):
+            raise ValueError(f"unknown cheb_precision {self.cheb_precision!r}")
+        if self.head not in ("attention", "spectrum"):
+            raise ValueError(f"unknown head {self.head!r}")
 
 
 @dataclasses.dataclass(frozen=True)

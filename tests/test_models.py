@@ -400,3 +400,20 @@ def test_chebyshev_default_precision_matches_and_stays_hermitian():
     )
     assert np.allclose(hi, lo, atol=1e-4), np.abs(hi - lo).max()
     np.testing.assert_array_equal(lo, np.conj(np.swapaxes(lo, -1, -2)))
+
+
+def test_model_config_validates_enums():
+    """ADVICE r4: a typo like cheb_impl='Pallas' must raise, not silently
+    fall through GLayer's string dispatch onto the XLA engine."""
+    import pytest
+
+    with pytest.raises(ValueError, match="cheb_impl"):
+        ModelConfig(cheb_impl="Pallas")
+    with pytest.raises(ValueError, match="cheb_precision"):
+        ModelConfig(cheb_precision="high")
+    with pytest.raises(ValueError, match="g_mode"):
+        ModelConfig(g_mode="cheby")
+    with pytest.raises(ValueError, match="head"):
+        ModelConfig(head="Attention")
+    for impl in ("xla", "pallas"):
+        assert ModelConfig(cheb_impl=impl).cheb_impl == impl
