@@ -203,6 +203,55 @@ class PeakSearchConfig:
     refine_iters: int = 3
     refine_points: int = 11  # points per axis per refinement round
     max_peaks: int = 16
+    # Matmul precision of the REFINE einsums ("highest" | "default").  The
+    # round-5 decomposition (results/r05/e2e_decompose_r05.json) showed the
+    # 3-round refine stage is the entire non-solve cost of the classical
+    # deployment pipeline (~0.017 ms/scene of 0.115) while the coarse
+    # NUDFT + top-K are free; the refine einsums are tiny per-peak
+    # contractions where one-pass bf16 noise (~4e-3 relative on spectrum
+    # values) only has to preserve an 11x11 argmax.  Gated before becoming
+    # the production default (see runs/e2e_r05b.py).
+    refine_precision: str = "highest"
+
+    def __post_init__(self):
+        if self.refine_precision not in ("highest", "default"):
+            raise ValueError(
+                f"unknown refine_precision {self.refine_precision!r}"
+            )
+        # zoom-coverage invariant (class docstring): each round's span must
+        # cover the previous round's quantization error
+        if self.refine_points < 1.0 / self.reduce_factor + 1.0 - 1e-9:
+            raise ValueError(
+                f"refine_points {self.refine_points} < 1/reduce_factor + 1 "
+                f"({1.0 / self.reduce_factor + 1.0:g}): the refinement zoom "
+                "cannot cover the previous round's quantization error"
+            )
+
+
+# Round-5 gated deployment point for the classical pipeline
+# (results/r05/budget_r05.json + e2e_refine_r05.json, VERDICT r4 missing-1/4):
+#
+# - DETECTION_BUDGET_ITERS: fixed solve budget for detection-only
+#   deployments.  The 512-scene random-SNR gate (PRNGKey 42, SNR 5-25 dB) is
+#   FLAT in the budget from 1 to 100 iterations at every match tolerance
+#   (0.05/0.02/0.01) -- the distribution's detection task saturates at the
+#   matched-filter initialization, so the budget choice is certificate-
+#   driven: 10 is the eta=5e-2 adaptive-convergence crossing measured in
+#   round 3 (RESULTS 1.5: every anchor instance residual-converged at 10),
+#   i.e. the smallest budget that is a *solve*, not just a periodogram.
+#   Detection at 10: random F1 0.8639 == the exact-eigh-100 control, anchor
+#   F1 1.0.  NOT for phi-faithful work (phi at 10 iterations is far from
+#   the fixed point; use the full budget + polar/eigh modes).
+# - PRODUCTION_PEAKS: the gated peak-search deployment config -- 2 refine
+#   rounds (final quantization ~6e-5 << the solver's 0.003 tau RMSE) at
+#   one-pass DEFAULT refine precision (the einsums only preserve an 11x11
+#   argmax); anchor F1 1.0 / random-512 F1 within 0.0013 of the
+#   3-round-HIGHEST control (chaotic band).
+DETECTION_BUDGET_ITERS = 10
+
+PRODUCTION_PEAKS = PeakSearchConfig(
+    max_peaks=8, refine_iters=2, refine_precision="default"
+)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -67,6 +67,11 @@ def _local_max_mask(Z: jnp.ndarray) -> jnp.ndarray:
 def _refine(phi, tau0, f0, cfg: PeakSearchConfig, Nb: int, Nd: int):
     """Fixed-round local zoom.  phi: (B, n); tau0/f0: (B, K)."""
     P = cfg.refine_points
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if cfg.refine_precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
     Phi = jnp.conj(phi).reshape(phi.shape[0], Nb, Nd)
     rel = jnp.linspace(-1.0, 1.0, P, dtype=jnp.float32)
 
@@ -84,7 +89,7 @@ def _refine(phi, tau0, f0, cfg: PeakSearchConfig, Nb: int, Nd: int):
         S = doppler_steering(fs, Nb)  # (B, K, P, Nb)
         Dc = jnp.conj(delay_steering(taus, Nd))  # (B, K, P, Nd)
         Zl = jnp.abs(jnp.einsum("bzpm,bmk,bzqk->bzpq", S, Phi, Dc,
-                                 precision=jax.lax.Precision.HIGHEST)) ** 2
+                                 precision=prec)) ** 2
         flat = Zl.reshape(*Zl.shape[:-2], P * P)
         idx = jnp.argmax(flat, axis=-1)
         height = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]

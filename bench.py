@@ -55,6 +55,13 @@ production F1 >= the exact-eigh control's F1 - 0.005 on the same scenes
 (the +-0.2% chaotic-trajectory band of RESULTS.md 3.4/3.7 plus sampling
 margin; the round-4 cliff configs fail this band by construction:
 1-bisection warm bracket measured control-0.012).
+
+Round-5 addition (VERDICT r4 missing-1/4): the line also carries the gated
+reduced-budget DEPLOYMENT point -- the full classical pipeline (observation
+-> solve -> (tau, f, height) peak list) at DETECTION_BUDGET_ITERS=10 with
+PRODUCTION_PEAKS (2-round DEFAULT-precision refine), timed device-resident
+(deploy_ms_per_scene / deploy_scenes_per_s) and gated on the same 512
+random-SNR scenes (deploy_random_f1 / deploy_gate_ok vs the eigh control).
 """
 
 import dataclasses
@@ -241,13 +248,24 @@ def main():
         from admmnet_tpu.core.config import DataConfig
         from admmnet_tpu.data.generator import generate_batch
 
+        from admmnet_tpu.core.config import (
+            DETECTION_BUDGET_ITERS,
+            PRODUCTION_PEAKS,
+        )
+
         raw = generate_batch(jax.random.PRNGKey(42), DataConfig(), RANDOM_B)
         rnd_stats = {}
-        for name, o in (("prod", opts), ("eigh", ADMMOptions(g_update="eigh"))):
+        for name, o, it, pc in (
+            ("prod", opts, ITERS, PeakSearchConfig(max_peaks=8)),
+            ("eigh", ADMMOptions(g_update="eigh"), ITERS,
+             PeakSearchConfig(max_peaks=8)),
+            # gated reduced-budget deployment point (round 5): budget-10
+            # solve + 2-round DEFAULT-precision refine
+            ("deploy", opts, DETECTION_BUDGET_ITERS, PRODUCTION_PEAKS),
+        ):
             fr = cjit(
-                lambda y, b, s, o=o: find_peaks(
-                    admm_solve_fixed(y, b, s, ITERS, 1.0, o), 10, 10,
-                    PeakSearchConfig(max_peaks=8),
+                lambda y, b, s, o=o, it=it, pc=pc: find_peaks(
+                    admm_solve_fixed(y, b, s, it, 1.0, o), 10, 10, pc,
                 )
             )
             pk = to_host(fr(raw["y"], raw["b"], raw["sigma"]))
@@ -269,7 +287,35 @@ def main():
             "random_tau_rmse_eigh_control": round(
                 rnd_stats["eigh"]["tau_rmse"], 5
             ),
+            "deploy_random_f1": round(rnd_stats["deploy"]["f1"], 4),
+            "deploy_gate_ok": bool(
+                rnd_stats["deploy"]["f1"] >= rnd_stats["eigh"]["f1"] - 0.005
+            ),
         }
+
+        # Deployment throughput: full classical pipeline (observation ->
+        # (tau, f, height) peak list) at the gated budget, device-resident
+        fd = cjit(
+            lambda y, b, s: (lambda pk: jnp.sum(pk.tau) + jnp.sum(pk.f)
+                             + jnp.sum(jnp.where(pk.valid, pk.height, 0.0)))(
+                find_peaks(
+                    admm_solve_fixed(
+                        y, b, s, DETECTION_BUDGET_ITERS, 1.0, opts),
+                    10, 10, PRODUCTION_PEAKS,
+                )
+            )
+        )
+        float(fd(y_d, b_d, s_d))  # compile + warm on the device-arg path
+        best_d = np.inf
+        for _ in range(REPEATS):
+            t0 = time.time()
+            float(fd(y_d, b_d, s_d))
+            best_d = min(best_d, time.time() - t0)
+        random_fields.update({
+            "deploy_budget_iters": DETECTION_BUDGET_ITERS,
+            "deploy_ms_per_scene": round(best_d / B * 1e3, 4),
+            "deploy_scenes_per_s": round(B / best_d, 1),
+        })
 
     # reference-parity pin: ref-compat mode (dense phi update + identity G
     # step + adaptive stop -- the reference's exact semantics) on the FIXED

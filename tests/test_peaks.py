@@ -112,3 +112,43 @@ def test_scale_invariant_nmse_resolves_tiny_errors_in_float64():
     v = scale_invariant_nmse(b, a)
     assert 0.5 * eps**2 < v < 2.0 * eps**2, v
     assert scale_invariant_nmse(a, a) == 0.0
+
+
+def test_peak_config_validates_refine_knobs():
+    """Round-5: refine_precision enum + the zoom-coverage invariant
+    (refine_points >= 1/reduce_factor + 1) raise at construction."""
+    import pytest
+
+    with pytest.raises(ValueError, match="refine_precision"):
+        PeakSearchConfig(refine_precision="Default")
+    with pytest.raises(ValueError, match="cannot cover"):
+        PeakSearchConfig(refine_points=9)  # < 1/0.1 + 1
+    # a coarser reduce factor legalizes fewer points
+    assert PeakSearchConfig(refine_points=9, reduce_factor=0.2).refine_points == 9
+
+
+def test_production_peaks_config_and_default_precision_parity():
+    """PRODUCTION_PEAKS (round-5 gated deployment point) is constructible,
+    and refine_precision='default' returns identical peaks to 'highest' on
+    CPU (where DEFAULT is full f32) -- pins the precision plumbing."""
+    import dataclasses
+
+    from admmnet_tpu.core.config import (
+        DETECTION_BUDGET_ITERS,
+        PRODUCTION_PEAKS,
+    )
+
+    assert DETECTION_BUDGET_ITERS == 10
+    assert PRODUCTION_PEAKS.refine_iters == 2
+    assert PRODUCTION_PEAKS.refine_precision == "default"
+
+    rng = np.random.default_rng(3)
+    Nb = Nd = 10
+    phi = (rng.normal(size=(4, Nb * Nd))
+           + 1j * rng.normal(size=(4, Nb * Nd))).astype(np.complex64)
+    hi = find_peaks(jnp.asarray(phi), Nb, Nd,
+                    dataclasses.replace(PRODUCTION_PEAKS,
+                                        refine_precision="highest"))
+    de = find_peaks(jnp.asarray(phi), Nb, Nd, PRODUCTION_PEAKS)
+    np.testing.assert_array_equal(np.asarray(hi.tau), np.asarray(de.tau))
+    np.testing.assert_array_equal(np.asarray(hi.f), np.asarray(de.f))
