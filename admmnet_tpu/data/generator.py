@@ -114,12 +114,19 @@ def label_phi(
     chunk: int = 1024,
 ) -> np.ndarray:
     """Label instances with classical-solver phi (batched replacement for the
-    reference's per-sample solver loop, generate_data.py:444-452)."""
+    reference's per-sample solver loop, generate_data.py:444-452).
+
+    Default solver mode is the round-5 fused phi-exact kernel
+    (g_update="fused_exact": NMSE vs eigh 1.84e-6 at 1.5x the per-step
+    polar throughput, results/r05/exact_r05.json); off-TPU it falls back
+    to the scan-path polar mode with a warning.  phi accuracy is the
+    labelling contract (reference trainPhi.py:89-94), so detection-grade
+    modes (fused_fast/polar_fast) should NOT be passed here."""
     from admmnet_tpu.solver import admm_solve_fixed
     from admmnet_tpu.utils.host import cjit
     from admmnet_tpu.utils.retry import device_retry
 
-    opts = opts or ADMMOptions()
+    opts = opts or ADMMOptions(g_update="fused_exact")
     run = cjit(
         lambda y, b, s: admm_solve_fixed(y, b, s, iters, lambda_val, opts)
     )

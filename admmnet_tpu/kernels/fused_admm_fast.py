@@ -50,7 +50,7 @@ def _mm(a, b, hi=False):
 
 def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
                     final_hi=True, resym_out=True, fixed_inv=None,
-                    skip_finals=False, emit_a_stats=None):
+                    skip_finals=False, emit_a_stats=None, all_hi=False):
     """Fast-schedule PSD step on K interleaved (TILE, TILE) plane pairs.
 
     Same math as kernels/polar.py mode="fast": bf16-stable box-constrained
@@ -70,8 +70,12 @@ def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
     reductions + 4K corner-row reads (the 13% "diag extraction" line of
     the round-3 profile, runs/profile_lean.py).
     """
+    # all_hi (round 5, the fused_exact mode): run EVERY schedule step's
+    # matmuls at HIGHEST -- the caller passes a minimax quintic schedule
+    # (POLAR_QUINTIC[5]_SCHEDULE) whose large early coefficients are not
+    # bf16-safe; no polish step is appended (the schedules close themselves).
     schedule = tuple(schedule) + (
-        (POLAR_BF16_POLISH,) if hi_steps >= 1 else ()
+        (POLAR_BF16_POLISH,) if (hi_steps >= 1 and not all_hi) else ()
     )
     nsteps = len(schedule)
     if fixed_inv is not None:  # profiling ablation "norm" only
@@ -88,7 +92,7 @@ def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
     Xi = [Mi[k] * inv[k] for k in range(K)]
     eye = jnp.eye(TILE, dtype=jnp.float32)
     for s, (a, b, c) in enumerate(schedule):
-        hi = s >= nsteps - hi_steps
+        hi = all_hi or s >= nsteps - hi_steps
         XrXi = [_mm(Xr[k], Xi[k], hi) for k in range(K)]
         X2r = [_mm(Xr[k], Xr[k], hi) - _mm(Xi[k], Xi[k], hi) for k in range(K)]
         X2i = [XrXi[k] - XrXi[k].T for k in range(K)]
@@ -263,7 +267,7 @@ def _fused_fast_kernel_lean(
     phi_r_ref, phi_i_ref,
     *, n, kblk, num_iters, rho, lam_inv_sq, hi_steps, outer_iters, inner_iters,
     schedule, final_hi, ablate="none", loop_unroll=1, fold_diag=False,
-    warm_root=False,
+    warm_root=False, all_hi=False,
 ):
     """Lean fused solve: the list kernel with its measured glue costs removed.
 
@@ -408,6 +412,7 @@ def _fused_fast_kernel_lean(
             fixed_inv=1.0 / 64.0 if ablate == "norm" else None,
             skip_finals=ablate == "finals",
             emit_a_stats=n if fold_diag else None,
+            all_hi=all_hi,
         )
         if fold_diag:
             Gr2, Gi2, (adiag2, arow_r2, arow_i2) = psd
@@ -543,7 +548,7 @@ def _fused_fast_kernel(
     static_argnames=("num_iters", "rho", "lambda_val", "kblk", "hi_steps",
                      "interpret", "outer_iters", "inner_iters", "schedule",
                      "final_hi", "layout", "ablate", "loop_unroll",
-                     "fold_diag", "warm_root"),
+                     "fold_diag", "warm_root", "all_hi"),
 )
 def admm_solve_fused_fast(
     y: jnp.ndarray,
@@ -564,8 +569,17 @@ def admm_solve_fused_fast(
     loop_unroll: int = 1,
     fold_diag: bool = False,
     warm_root: bool = False,
+    all_hi: bool = False,
 ) -> jnp.ndarray:
     """Fully-fused fast-schedule fixed-iteration solve; phi (B, n) complex.
+
+    ``all_hi=True`` (round 5, the ``g_update="fused_exact"`` mode): every
+    schedule step's matmuls run at HIGHEST (Mosaic ~6 bf16 passes per f32
+    matmul) -- pass a minimax quintic schedule (ops.projections
+    POLAR_QUINTIC_SCHEDULE / POLAR_QUINTIC5_SCHEDULE) and deep root-finder
+    iterations; this is the whole-solve fusion of the per-step ``polar``
+    mode (phi-faithful contract of reference trainPhi.py:89-94) with the
+    XLA inter-iteration glue removed.
 
     Equivalent to admm_solve_fixed(..., ADMMOptions(g_update="polar_fast"))
     with the whole loop inside one Pallas call.  The batch is zero-padded to
@@ -601,8 +615,8 @@ def admm_solve_fused_fast(
         raise ValueError("ablate profiling is lean-layout only")
     if ablate != "none" and fold_diag:
         raise ValueError("ablate profiling assumes the unfolded carry layout")
-    if (fold_diag or warm_root) and layout != "lean":
-        raise ValueError("fold_diag/warm_root are lean-layout options")
+    if (fold_diag or warm_root or all_hi) and layout != "lean":
+        raise ValueError("fold_diag/warm_root/all_hi are lean-layout options")
     kernel = functools.partial(
         _fused_fast_kernel_lean if layout == "lean"
         else _fused_fast_kernel,
@@ -618,7 +632,8 @@ def admm_solve_fused_fast(
         final_hi=final_hi,
         **(
             {"ablate": ablate, "loop_unroll": loop_unroll,
-             "fold_diag": fold_diag, "warm_root": warm_root}
+             "fold_diag": fold_diag, "warm_root": warm_root,
+             "all_hi": all_hi}
             if layout == "lean" else {}
         ),
     )
@@ -632,11 +647,15 @@ def admm_solve_fused_fast(
     # Scoped-VMEM stack usage is ~0.95 MB per interleaved instance (measured:
     # K=32 wants 29.1 MB); the default 16 MB limit only fits K<=16.  Raise it
     # explicitly for wider interleaves, leave the default untouched otherwise
-    # so K<=16 compilation is unchanged.
+    # so K<=16 compilation is unchanged.  The all-HIGHEST exact mode needs
+    # ~1.63 MB/instance (measured: K=32 all_hi wants 52.01 MB -- Mosaic's
+    # 6-pass f32 matmul emulation stages operand splits per product), so it
+    # gets a 2 MB/instance budget at any kblk.
+    per_instance = (1 << 21) if all_hi else (1 << 20)
     compiler_params = None
-    if kblk > 16:
+    if kblk > 16 or all_hi:
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=kblk * (1 << 20) + (8 << 20)
+            vmem_limit_bytes=kblk * per_instance + (8 << 20)
         )
     phi_r, phi_i = pl.pallas_call(
         kernel,

@@ -212,6 +212,20 @@ POLAR_QUINTIC_SCHEDULE = (
     (1.874984, -1.249968, 0.374983),
 )
 
+# Shortened all-HIGHEST quintic schedule for the fused phi-exact solve
+# (round 5, kernels/fused_admm_fast.py all_hi mode): same greedy minimax LP
+# at a larger write-off floor l0=1e-2 -- |p-1| < 1.3e-6 on [1e-2, 1],
+# |M|-weighted error max|x(p-1)| = 9.4e-4 on [0, 1] (vs the 7-step
+# schedule's 7.3e-5 at 1.9x the matmuls).  Refit:
+#   python -m admmnet_tpu.ops.fit_polar_schedule --steps 5 --l0 1e-2
+POLAR_QUINTIC5_SCHEDULE = (
+    (8.093369, -23.620432, 17.446153),
+    (3.636586, -2.721927, 0.536546),
+    (2.661300, -1.977155, 0.452616),
+    (1.956172, -1.337508, 0.383853),
+    (1.875144, -1.250140, 0.374996),
+)
+
 # bf16-safe two-phase schedule (fit_polar_schedule.fit_bf16_schedule): steps
 # 1-4 maximize guaranteed growth of the smallest eigenvalue inside the box
 # 0 <= g <= ~1.01 on [0, 1.02u] (no overshoot anywhere -> one-pass-bf16

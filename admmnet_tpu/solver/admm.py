@@ -103,9 +103,10 @@ def _phi_update_ref_dense(y, b, g, zeta, rho):
 def _g_step(M, opts: ADMMOptions):
     if opts.g_update == "eigh":
         return psd_project_eigh(M)
-    # "fused_fast" reaches here only from the while_loop path (admm_solve)
-    # or the off-TPU fallback; its per-step PSD math is polar_fast's.
-    if opts.g_update in ("polar", "polar_fast", "fused_fast"):
+    # "fused_fast"/"fused_exact" reach here only from the while_loop path
+    # (admm_solve) or the off-TPU fallback; their per-step PSD math is
+    # polar_fast's / polar's respectively.
+    if opts.g_update in ("polar", "polar_fast", "fused_fast", "fused_exact"):
         # On TPU the fused Pallas kernel is ~3.3x the XLA path (VMEM-resident
         # schedule, Hermitian-structure matmul savings); elsewhere use XLA.
         # "polar_fast" additionally runs all but the last schedule step at
@@ -258,11 +259,13 @@ def admm_solve_fixed(
     batch = y.shape[:-1]
     n = y.shape[-1]
 
-    if opts.g_update == "fused_fast":
+    if opts.g_update in ("fused_fast", "fused_exact"):
         # whole solve in one Pallas call (kernels/fused_admm_fast.py);
-        # falls back to the scan path + polar_fast when the kernel can't
-        # apply -- LOUDLY, so a benchmark misconfiguration can't silently
-        # produce a wrong-mode number.
+        # falls back to the scan path + polar_fast/polar when the kernel
+        # can't apply -- LOUDLY, so a benchmark misconfiguration can't
+        # silently produce a wrong-mode number.
+        exact = opts.g_update == "fused_exact"
+        fallback = "polar" if exact else "polar_fast"
         fused_ok = (
             jax.default_backend() == "tpu" and n + 1 <= 128 and len(batch) <= 1
         )
@@ -277,8 +280,8 @@ def admm_solve_fixed(
                 else f"batch rank {len(batch)} > 1 (flatten leading dims)"
             )
             warnings.warn(
-                f"g_update='fused_fast' falling back to the scan path with "
-                f"g_update='polar_fast': {reason}",
+                f"g_update={opts.g_update!r} falling back to the scan path "
+                f"with g_update={fallback!r}: {reason}",
                 stacklevel=2,
             )
         if fused_ok:
@@ -289,32 +292,52 @@ def admm_solve_fixed(
                 POLAR_BF16_SCHED2,
                 POLAR_BF16_SCHED3,
                 POLAR_BF16_SCHEDULE,
+                POLAR_QUINTIC5_SCHEDULE,
+                POLAR_QUINTIC_SCHEDULE,
             )
 
-            sched = {
-                "full": POLAR_BF16_SCHEDULE,
-                "sched3": POLAR_BF16_SCHED3,
-                "sched2": POLAR_BF16_SCHED2,
-            }[opts.fused_schedule]
+            if exact:
+                sched = {
+                    "quintic5": POLAR_QUINTIC5_SCHEDULE,
+                    "quintic7": POLAR_QUINTIC_SCHEDULE,
+                }[opts.fused_exact_schedule]
+                kw = dict(
+                    hi_steps=0,
+                    outer_iters=opts.fused_exact_proj_iters,
+                    inner_iters=opts.fused_exact_inner_iters,
+                    schedule=sched, final_hi=True, layout="lean",
+                    fold_diag=opts.fused_fold_diag,
+                    warm_root=opts.fused_exact_warm_root,
+                    all_hi=True,
+                )
+            else:
+                sched = {
+                    "full": POLAR_BF16_SCHEDULE,
+                    "sched3": POLAR_BF16_SCHED3,
+                    "sched2": POLAR_BF16_SCHED2,
+                }[opts.fused_schedule]
+                kw = dict(
+                    hi_steps=opts.polar_fast_hi_steps,
+                    outer_iters=opts.fused_proj_iters,
+                    inner_iters=opts.fused_inner_iters,
+                    schedule=sched, final_hi=opts.fused_final_hi,
+                    layout=opts.fused_layout,
+                    loop_unroll=opts.fused_unroll,
+                    fold_diag=opts.fused_fold_diag,
+                    warm_root=opts.fused_warm_root,
+                )
             yb = y.reshape(-1, n) if batch else y[None]
             out = admm_solve_fused_fast(
                 yb, jnp.broadcast_to(b, yb.shape),
                 jnp.broadcast_to(jnp.asarray(sigma, jnp.float32),
                                  yb.shape[:1]),
                 num_iters, opts.rho, lambda_val,
-                kblk=opts.fused_kblk, hi_steps=opts.polar_fast_hi_steps,
-                outer_iters=opts.fused_proj_iters,
-                inner_iters=opts.fused_inner_iters,
-                schedule=sched, final_hi=opts.fused_final_hi,
-                layout=opts.fused_layout,
-                loop_unroll=opts.fused_unroll,
-                fold_diag=opts.fused_fold_diag,
-                warm_root=opts.fused_warm_root,
+                kblk=opts.fused_kblk, **kw,
             )
             return out.reshape(*batch, n) if batch else out[0]
         import dataclasses as _dc
 
-        opts = _dc.replace(opts, g_update="polar_fast")
+        opts = _dc.replace(opts, g_update=fallback)
 
     sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), batch)
     A = 2.0 * jnp.sqrt(float(n)) * sigma + sigma**2

@@ -202,7 +202,11 @@ def main():
                 admm_solve_fixed(y, b, s, ITERS, 1.0, ADMMOptions(g_update="eigh")),
             )
             if want_exact:
-                out += (admm_solve_fixed(y, b, s, ITERS, 1.0, polar_opts),)
+                out += (
+                    admm_solve_fixed(y, b, s, ITERS, 1.0, polar_opts),
+                    admm_solve_fixed(y, b, s, ITERS, 1.0,
+                                     ADMMOptions(g_update="fused_exact")),
+                )
             return out
 
         phis = to_host(cjit(_phis)(y[:qB], b[:qB], sigma[:qB]))
@@ -211,27 +215,40 @@ def main():
             exact_fields["exact_phi_nmse_vs_eigh"] = float(
                 f"{float(scale_invariant_nmse(phis[2], phis[1])):.3e}"
             )
+            exact_fields["fused_exact_phi_nmse_vs_eigh"] = float(
+                f"{float(scale_invariant_nmse(phis[3], phis[1])):.3e}"
+            )
 
     if want_exact:
-        # NMSE-exact mode throughput (g_update="polar", all-HIGHEST minimax
-        # schedule): measured at a smaller batch so the added wall time stays
-        # inside the round budget; per-instance throughput is batch-stable
-        # for the per-step kernel path (RESULTS.md 1).
+        # Phi-exact mode throughput, two engines (round 5): the fused
+        # whole-solve exact kernel (g_update="fused_exact", all-HIGHEST
+        # quintic7 + cold 16/8 root-finder -- the production phi-exact
+        # default, used by label_phi) and the per-step polar mode (the
+        # rounds-1-4 exact pin, kept for cross-round comparability).
+        # Measured at a smaller batch so the added wall time stays inside
+        # the round budget; per-instance throughput is batch-stable
+        # (RESULTS.md 1).
         B_EX = min(B, int(os.environ.get("BENCH_EXACT_BATCH", 2048)))
-        fe = cjit(
-            lambda y, b, s: jnp.sum(
-                jnp.abs(admm_solve_fixed(y, b, s, ITERS, 1.0, polar_opts))
+        for field, o in (("exact_iter_s", polar_opts),
+                         ("fused_exact_iter_s",
+                          ADMMOptions(g_update="fused_exact"))):
+            fe = cjit(
+                lambda y, b, s, o=o: jnp.sum(
+                    jnp.abs(admm_solve_fixed(y, b, s, ITERS, 1.0, o))
+                )
             )
-        )
-        float(fe(y[:B_EX], b[:B_EX], sigma[:B_EX]))  # compile
-        best_ex = np.inf
-        for _ in range(max(1, REPEATS - 1)):
-            t0 = time.time()
-            float(fe(y[:B_EX], b[:B_EX], sigma[:B_EX]))
-            best_ex = min(best_ex, time.time() - t0)
-        exact_fields["exact_iter_s"] = round(B_EX * ITERS / best_ex, 1)
+            float(fe(y[:B_EX], b[:B_EX], sigma[:B_EX]))  # compile
+            best_ex = np.inf
+            for _ in range(max(1, REPEATS - 1)):
+                t0 = time.time()
+                float(fe(y[:B_EX], b[:B_EX], sigma[:B_EX]))
+                best_ex = min(best_ex, time.time() - t0)
+            exact_fields[field] = round(B_EX * ITERS / best_ex, 1)
         exact_fields["exact_vs_baseline"] = round(
             exact_fields["exact_iter_s"] / 190.0, 2
+        )
+        exact_fields["fused_exact_vs_baseline"] = round(
+            exact_fields["fused_exact_iter_s"] / 190.0, 2
         )
         exact_fields["exact_batch"] = B_EX
 

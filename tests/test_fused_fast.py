@@ -311,3 +311,82 @@ def test_warm_bracket_recovers_from_drift():
         rel(h, h_deep), rel(h_cold2, h_deep)
     )
     assert rel(h, h_deep).max() < 0.5
+
+
+def test_fused_exact_matches_scan_polar_interpret():
+    """Round-5 fused_exact (all_hi + quintic schedule + deep root-finder)
+    vs the scan-path polar mode: both run the all-HIGHEST quintic PSD step
+    (interpret mode evaluates at f32, like the off-TPU polar path), so the
+    trajectories must agree to f32 accumulation noise.  The band is wider
+    than the polar_fast differential's (5e-5): the quintic's large step-1
+    coefficients (a=8.5, c=18.6) amplify the rounding difference between
+    the kernel's 3-matmul Karatsuba products and XLA's complex matmul
+    (measured ~1.1e-4 at 15 iterations -- trajectory noise, not bias; the
+    hardware NMSE gate in runs/exact_r05.py is the binding contract)."""
+    from admmnet_tpu.ops.projections import POLAR_QUINTIC_SCHEDULE
+
+    y, b, s = make_anchor_batch(4, mode="redemod", seed=5)
+    phi_f = np.asarray(
+        admm_solve_fused_fast(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s),
+                              15, kblk=4, outer_iters=32, inner_iters=8,
+                              schedule=POLAR_QUINTIC_SCHEDULE, all_hi=True,
+                              hi_steps=0, final_hi=True, interpret=True)
+    )
+    phi_x = np.asarray(
+        admm_solve_fixed(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 15,
+                         1.0, ADMMOptions(g_update="polar"))
+    )
+    err = np.linalg.norm(phi_f - phi_x, axis=-1) / np.linalg.norm(phi_x, axis=-1)
+    assert err.max() < 5e-4, err
+
+
+def test_fused_exact_dispatch_and_fallback(monkeypatch):
+    """g_update='fused_exact' routes through the fused kernel with the
+    exact knobs on TPU, and falls back to scan+polar off-TPU (loudly)."""
+    import warnings
+
+    import admmnet_tpu.solver.admm as admm_mod
+
+    y, b, s = make_anchor_batch(2, mode="redemod", seed=6)
+    opts = ADMMOptions(g_update="fused_exact", fused_exact_proj_iters=9,
+                       fused_exact_inner_iters=7,
+                       fused_exact_schedule="quintic7",
+                       fused_exact_warm_root=True)
+
+    # off-TPU: falls back to polar with a warning
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        phi = admm_solve_fixed(jnp.asarray(y), jnp.asarray(b),
+                               jnp.asarray(s), 5, 1.0, opts)
+    assert phi.shape == y.shape
+    assert any("fused_exact" in str(x.message) for x in w)
+
+    # pretend-TPU: capture the kernel call kwargs
+    seen = {}
+
+    def fake_kernel(yb, bb, sb, num_iters, rho, lam, **kw):
+        seen.update(kw)
+        return jnp.zeros(yb.shape, jnp.complex64)
+
+    monkeypatch.setattr(admm_mod.jax, "default_backend", lambda: "tpu")
+    import admmnet_tpu.kernels.fused_admm_fast as fk
+
+    monkeypatch.setattr(fk, "admm_solve_fused_fast", fake_kernel)
+    admm_solve_fixed(jnp.asarray(y), jnp.asarray(b), jnp.asarray(s), 5, 1.0,
+                     opts)
+    from admmnet_tpu.ops.projections import POLAR_QUINTIC_SCHEDULE
+
+    assert seen["all_hi"] is True
+    assert seen["final_hi"] is True
+    assert seen["hi_steps"] == 0
+    assert seen["outer_iters"] == 9
+    assert seen["inner_iters"] == 7
+    assert seen["warm_root"] is True
+    assert seen["schedule"] == POLAR_QUINTIC_SCHEDULE
+
+
+def test_admm_options_validate_fused_exact_schedule():
+    import pytest
+
+    with pytest.raises(ValueError, match="fused_exact_schedule"):
+        ADMMOptions(fused_exact_schedule="quintic6")
