@@ -170,22 +170,26 @@ class ADMMOptions:
     # "polar" mode (reference trainPhi.py:89-94) with the XLA
     # inter-iteration glue removed.  Measured ladder (B=2048 x 100
     # device-resident, phi NMSE vs the same-instance eigh solve,
-    # results/r05/exact_r05.json):
+    # results/r05/exact_r05.json + exact3p_r05.json):
     #   polar per-step (round-4 exact mode)    67.0k iter/s, NMSE 1.60e-6
-    #   quintic7 + cold 16/8 (DEFAULT)        101.0k iter/s, NMSE 1.84e-6
-    #   quintic7 + warm 10/8                  102.9k iter/s, NMSE 1.23e-5
-    #   quintic5 + cold 16/8                  134.3k iter/s, NMSE 1.9e-3
-    # The default is the only rung meeting the <=1e-5 contract: the warm
-    # bracket's 5%-of-hi re-widening floor costs 7x NMSE for +2% speed, and
-    # the shortened l0=1e-2 schedule fails by 200x (phi NMSE scales like
-    # (schedule weighted error)^~2.7).  101k is ~85% of the all-HIGHEST
-    # MXU roofline (66 f32 matmuls/inst-iter at ~6 one-pass passes each =
-    # ~119k at 100% of the v5e's 197 bf16 TFLOP/s), so speedups beyond
-    # this require precision/packing changes, not scheduling (RESULTS 3.8).
+    #   quintic7 + cold 16/8, HIGHEST         101.0k iter/s, NMSE 1.84e-6
+    #   quintic7 + warm 10/8, HIGHEST         102.9k iter/s, NMSE 1.23e-5
+    #   quintic5 + cold 16/8, HIGHEST         134.3k iter/s, NMSE 1.9e-3
+    #   quintic7 + cold 16/8, 3-pass (DEFAULT) 173.6k iter/s, NMSE 2.19e-6
+    # The warm bracket's 5%-of-hi re-widening floor costs 7x NMSE for +2%
+    # speed, and the shortened l0=1e-2 schedule fails the contract by 200x
+    # (phi NMSE scales like (schedule weighted error)^~2.7) -- both
+    # excluded.  The default runs the kernel's hand-rolled 3-pass
+    # split-bf16 matmuls (fused_exact_three_pass: XLA's BF16_3X tier,
+    # which Mosaic does not expose natively): half the MXU passes of
+    # HIGHEST at a measured NMSE cost of only 1.84e-6 -> 2.19e-6, i.e.
+    # the solve's accuracy is schedule-limited, not matmul-noise-limited,
+    # down to the 3-pass tier.  2.59x the round-4 exact mode.
     fused_exact_schedule: str = "quintic7"  # "quintic5" | "quintic7"
     fused_exact_proj_iters: int = 16
     fused_exact_inner_iters: int = 8
     fused_exact_warm_root: bool = False
+    fused_exact_three_pass: bool = True
 
     def __post_init__(self):
         if self.phi_update not in ("diag", "ref_dense"):

@@ -48,9 +48,25 @@ def _mm(a, b, hi=False):
     )
 
 
+def _mm3(a, b):
+    """3-pass split-bf16 f32 matmul (XLA's BF16_6X "HIGHEST" at half the
+    passes): a = ah + al with ah = bf16(a) (top ~8 mantissa bits) and al
+    the bf16-rounded residual (next ~8 bits); a@b ~ ah@bh + ah@bl + al@bh,
+    each a one-pass Mosaic DEFAULT matmul with f32 accumulation.  Dropped
+    al@bl and the residual representation error bound the result at ~1e-5
+    relative -- between DEFAULT (~4e-3) and HIGHEST (~1e-7).  Round-5
+    precision-ladder experiment (RESULTS 3.9)."""
+    ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+    al = a - ah
+    bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+    bl = b - bh
+    return _mm(ah, bh) + _mm(ah, bl) + _mm(al, bh)
+
+
 def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
                     final_hi=True, resym_out=True, fixed_inv=None,
-                    skip_finals=False, emit_a_stats=None, all_hi=False):
+                    skip_finals=False, emit_a_stats=None, all_hi=False,
+                    three_pass=False):
     """Fast-schedule PSD step on K interleaved (TILE, TILE) plane pairs.
 
     Same math as kernels/polar.py mode="fast": bf16-stable box-constrained
@@ -78,6 +94,12 @@ def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
         (POLAR_BF16_POLISH,) if (hi_steps >= 1 and not all_hi) else ()
     )
     nsteps = len(schedule)
+
+    def mm(x, y, hi):
+        # three_pass (round-5 precision ladder): hi products run the 3-pass
+        # split-bf16 emulation instead of Mosaic's ~6-pass HIGHEST
+        return _mm3(x, y) if (hi and three_pass) else _mm(x, y, hi)
+
     if fixed_inv is not None:  # profiling ablation "norm" only
         inv = [jnp.float32(fixed_inv)] * K
     else:
@@ -93,31 +115,31 @@ def _polar_psd_fast(Mr, Mi, K, hi_steps, schedule=POLAR_BF16_SCHEDULE,
     eye = jnp.eye(TILE, dtype=jnp.float32)
     for s, (a, b, c) in enumerate(schedule):
         hi = all_hi or s >= nsteps - hi_steps
-        XrXi = [_mm(Xr[k], Xi[k], hi) for k in range(K)]
-        X2r = [_mm(Xr[k], Xr[k], hi) - _mm(Xi[k], Xi[k], hi) for k in range(K)]
+        XrXi = [mm(Xr[k], Xi[k], hi) for k in range(K)]
+        X2r = [mm(Xr[k], Xr[k], hi) - mm(Xi[k], Xi[k], hi) for k in range(K)]
         X2i = [XrXi[k] - XrXi[k].T for k in range(K)]
-        X2rX2i = [_mm(X2r[k], X2i[k], hi) for k in range(K)]
+        X2rX2i = [mm(X2r[k], X2i[k], hi) for k in range(K)]
         X4r = [
-            _mm(X2r[k], X2r[k], hi) - _mm(X2i[k], X2i[k], hi) for k in range(K)
+            mm(X2r[k], X2r[k], hi) - mm(X2i[k], X2i[k], hi) for k in range(K)
         ]
         X4i = [X2rX2i[k] - X2rX2i[k].T for k in range(K)]
         Yr = [a * eye + b * X2r[k] + c * X4r[k] for k in range(K)]
         Yi = [b * X2i[k] + c * X4i[k] for k in range(K)]
-        t1 = [_mm(Xr[k], Yr[k], hi) for k in range(K)]
-        t2 = [_mm(Xi[k], Yi[k], hi) for k in range(K)]
-        t3 = [_mm(Xr[k] + Xi[k], Yr[k] + Yi[k], hi) for k in range(K)]
+        t1 = [mm(Xr[k], Yr[k], hi) for k in range(K)]
+        t2 = [mm(Xi[k], Yi[k], hi) for k in range(K)]
+        t3 = [mm(Xr[k] + Xi[k], Yr[k] + Yi[k], hi) for k in range(K)]
         Xr = [t1[k] - t2[k] for k in range(K)]
         Xi = [t3[k] - t1[k] - t2[k] for k in range(K)]
-        if not hi:
+        if not hi or three_pass:
             # one-pass-bf16 noise breaks Hermitian symmetry; re-project each
             # low step (see kernels/polar.py for the stability argument)
             Xr = [0.5 * (Xr[k] + Xr[k].T) for k in range(K)]
             Xi = [0.5 * (Xi[k] - Xi[k].T) for k in range(K)]
     if skip_finals:  # profiling ablation "finals" only
         return Xr, Xi
-    t1 = [_mm(Xr[k], Mr[k], final_hi) for k in range(K)]
-    t2 = [_mm(Xi[k], Mi[k], final_hi) for k in range(K)]
-    t3 = [_mm(Xr[k] + Xi[k], Mr[k] + Mi[k], final_hi) for k in range(K)]
+    t1 = [mm(Xr[k], Mr[k], final_hi) for k in range(K)]
+    t2 = [mm(Xi[k], Mi[k], final_hi) for k in range(K)]
+    t3 = [mm(Xr[k] + Xi[k], Mr[k] + Mi[k], final_hi) for k in range(K)]
     Pr, Pi = [], []
     a_stats = [] if emit_a_stats is not None else None
     for k in range(K):
@@ -267,7 +289,7 @@ def _fused_fast_kernel_lean(
     phi_r_ref, phi_i_ref,
     *, n, kblk, num_iters, rho, lam_inv_sq, hi_steps, outer_iters, inner_iters,
     schedule, final_hi, ablate="none", loop_unroll=1, fold_diag=False,
-    warm_root=False, all_hi=False,
+    warm_root=False, all_hi=False, three_pass=False,
 ):
     """Lean fused solve: the list kernel with its measured glue costs removed.
 
@@ -412,7 +434,7 @@ def _fused_fast_kernel_lean(
             fixed_inv=1.0 / 64.0 if ablate == "norm" else None,
             skip_finals=ablate == "finals",
             emit_a_stats=n if fold_diag else None,
-            all_hi=all_hi,
+            all_hi=all_hi, three_pass=three_pass,
         )
         if fold_diag:
             Gr2, Gi2, (adiag2, arow_r2, arow_i2) = psd
@@ -548,7 +570,7 @@ def _fused_fast_kernel(
     static_argnames=("num_iters", "rho", "lambda_val", "kblk", "hi_steps",
                      "interpret", "outer_iters", "inner_iters", "schedule",
                      "final_hi", "layout", "ablate", "loop_unroll",
-                     "fold_diag", "warm_root", "all_hi"),
+                     "fold_diag", "warm_root", "all_hi", "three_pass"),
 )
 def admm_solve_fused_fast(
     y: jnp.ndarray,
@@ -570,6 +592,7 @@ def admm_solve_fused_fast(
     fold_diag: bool = False,
     warm_root: bool = False,
     all_hi: bool = False,
+    three_pass: bool = False,
 ) -> jnp.ndarray:
     """Fully-fused fast-schedule fixed-iteration solve; phi (B, n) complex.
 
@@ -615,8 +638,10 @@ def admm_solve_fused_fast(
         raise ValueError("ablate profiling is lean-layout only")
     if ablate != "none" and fold_diag:
         raise ValueError("ablate profiling assumes the unfolded carry layout")
-    if (fold_diag or warm_root or all_hi) and layout != "lean":
-        raise ValueError("fold_diag/warm_root/all_hi are lean-layout options")
+    if (fold_diag or warm_root or all_hi or three_pass) and layout != "lean":
+        raise ValueError(
+            "fold_diag/warm_root/all_hi/three_pass are lean-layout options"
+        )
     kernel = functools.partial(
         _fused_fast_kernel_lean if layout == "lean"
         else _fused_fast_kernel,
@@ -633,7 +658,7 @@ def admm_solve_fused_fast(
         **(
             {"ablate": ablate, "loop_unroll": loop_unroll,
              "fold_diag": fold_diag, "warm_root": warm_root,
-             "all_hi": all_hi}
+             "all_hi": all_hi, "three_pass": three_pass}
             if layout == "lean" else {}
         ),
     )

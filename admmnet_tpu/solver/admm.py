@@ -309,6 +309,7 @@ def admm_solve_fixed(
                     fold_diag=opts.fused_fold_diag,
                     warm_root=opts.fused_exact_warm_root,
                     all_hi=True,
+                    three_pass=opts.fused_exact_three_pass,
                 )
             else:
                 sched = {
