@@ -334,10 +334,12 @@ class ModelConfig:
     # Clenshaw evaluation engine for g_mode="chebyshev": "xla" (lax.scan of
     # batched matmuls at cheb_precision) or "pallas" (fused one-pass kernel,
     # kernels/cheb_filter.py: K-interleaved instances, VMEM-resident
-    # carries, in-register Hermitian re-projection -- INFERENCE ONLY, the
-    # kernel has no reverse AD; falls back to the XLA one-pass path
-    # off-TPU).  Identical learned-filter math; the engines differ only in
-    # matmul precision/scheduling.
+    # carries, in-register Hermitian re-projection; falls back to the XLA
+    # one-pass path off-TPU).  Identical learned-filter math; the engines
+    # differ only in matmul precision/scheduling.  Round 5: "pallas" is
+    # fully differentiable (custom VJP with a checkpoint-free reversible
+    # backward kernel), so it can be used for TRAINING as well as
+    # inference -- see kernels/cheb_filter.py and RESULTS 3.10.
     cheb_impl: str = "xla"
     # instances per program for cheb_impl="pallas" (MXU pipeline interleave)
     cheb_kblk: int = 8

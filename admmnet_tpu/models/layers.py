@@ -114,8 +114,9 @@ class GLayer(nn.Module):
     mode: str = "eigh"  # "eigh" | "chebyshev"
     cheb_degree: int = 48
     cheb_precision: str = "highest"  # "highest" | "default" (one-pass bf16)
-    # "xla" | "pallas" (fused one-pass kernel, inference only -- see
-    # kernels/cheb_filter.py and core.config.ModelConfig.cheb_impl)
+    # "xla" | "pallas" (fused one-pass kernel; round 5: differentiable via
+    # a custom VJP, so it trains too -- see kernels/cheb_filter.py and
+    # core.config.ModelConfig.cheb_impl)
     cheb_impl: str = "xla"
     cheb_kblk: int = 8
 
