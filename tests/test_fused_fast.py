@@ -420,3 +420,15 @@ def test_fused_exact_three_pass_interpret():
     # and it must be strictly noisier than the true-HIGHEST variant would
     # be, i.e. nonzero (guards against three_pass silently not applying)
     assert err.max() > 1e-7
+
+
+def test_round5_exact_defaults_pinned():
+    """The shipped fused_exact point is the gated round-5 config
+    (results/r05/exact_r05.json + exact3p_r05.json): quintic7 schedule,
+    cold 16/8 root-finder, 3-pass split-bf16 matmuls.  A drive-by change
+    must consciously re-run the NMSE-vs-eigh gate (<= 1e-5 contract)."""
+    o = ADMMOptions()
+    assert o.fused_exact_schedule == "quintic7"
+    assert (o.fused_exact_proj_iters, o.fused_exact_inner_iters) == (16, 8)
+    assert o.fused_exact_warm_root is False
+    assert o.fused_exact_three_pass is True
