@@ -33,8 +33,14 @@ bbar_{j+1} += 2 A bbar_j, bbar_{j+2} = -bbar_j) in lockstep.  Both
 directions are spectrally stable (the recurrence's growth on a
 normalized Hermitian A is polynomial in degree).  Backward matmuls run
 at the 3-pass split-bf16 tier by default (the fused_admm_fast _mm3
-trick: ~1e-5 relative per product -- far below useful gradient
-precision -- at half the HIGHEST pass count).
+trick: ~1e-5 relative per product at half the HIGHEST pass count).
+Realized gradient accuracy on hardware is bounded by the FORWARD's
+one-pass bf16 trajectory, not the backward tier: the backward
+reconstructs the exact-arithmetic trajectory from the saved carries,
+which differs from the bf16 forward's by ~1e-3-tier noise -- the same
+inexactness class as training with a bf16 forward anywhere, and far
+inside SGD's own noise (gate: the hardware loss-trajectory comparison,
+runs/train_kernel_r05.py).
 
 Numerics: identical polynomial to apply_spectral_filter(precision=
 DEFAULT) -- one-pass bf16 matmul noise with per-step Hermitian
@@ -62,14 +68,10 @@ def _mm(a, b, hi=False):
     )
 
 
-def _mm3(a, b):
-    """3-pass split-bf16 f32 matmul (see kernels/fused_admm_fast._mm3:
-    ~1e-5 relative error at half the HIGHEST pass count)."""
-    ah = a.astype(jnp.bfloat16).astype(jnp.float32)
-    al = a - ah
-    bh = b.astype(jnp.bfloat16).astype(jnp.float32)
-    bl = b - bh
-    return _mm(ah, bh) + _mm(ah, bl) + _mm(al, bh)
+# 3-pass split-bf16 f32 matmul: ~1e-5 relative error per product at half
+# the HIGHEST pass count -- ONE implementation, shared with the fused
+# exact solve so a change to the split construction applies everywhere.
+from admmnet_tpu.kernels.fused_admm_fast import _mm3  # noqa: E402
 
 
 def _cheb_kernel(mr_ref, mi_ref, c_ref, rinv_ref, gr_ref, gi_ref,
@@ -157,19 +159,10 @@ def cheb_filter_matrices(
     Output is the normalized-domain result; the caller scales by r.
     """
     batch_shape = M.shape[:-2]
-    m = M.shape[-1]
-    M = M.reshape(-1, m, m)
-    c = coeffs.reshape(-1, coeffs.shape[-1]).astype(jnp.float32)
-    B0 = M.shape[0]
-    kblk = min(kblk, max(1, B0))
-    B = (B0 + kblk - 1) // kblk * kblk
-    r = jnp.sqrt(jnp.sum(jnp.real(M) ** 2 + jnp.imag(M) ** 2, axis=(-1, -2)))
-    rinv = (1.0 / jnp.maximum(r, 1e-20)).astype(jnp.float32)
-    pad2 = ((0, B - B0), (0, TILE - m), (0, TILE - m))
-    Mr = jnp.pad(jnp.real(M).astype(jnp.float32), pad2)
-    Mi = jnp.pad(jnp.imag(M).astype(jnp.float32), pad2)
-    cpad = jnp.pad(c, ((0, B - B0), (0, TILE - c.shape[-1])))[:, None, :]
-    rinv = jnp.pad(rinv, ((0, B - B0),)).reshape(B, 1, 1)
+    # shared padding/normalization prep: MUST stay bitwise-identical
+    # between this (the custom_vjp primal), _cheb_fwd_with_residuals (the
+    # vjp forward), and _cheb_bwd -- hence one helper
+    Mr, Mi, cpad, rinv, B0, B, m, kblk = _pad_planes(M, coeffs, kblk)
 
     kernel = functools.partial(
         _cheb_kernel, kblk=kblk, degree=degree, final_hi=final_hi

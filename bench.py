@@ -39,11 +39,13 @@ exact-eigh control on the same scenes), which unlike the saturated
 8-instance anchor gate can catch a retune that drifts detection.
 
 Env knobs: BENCH_BATCH (default 8192), BENCH_ITERS (100), BENCH_G (psd mode:
-fused_fast | polar_fast | polar | newton_schulz | eigh), BENCH_FAST_HI
-(0|1: append the HIGHEST polish step), BENCH_SCHED (fused_fast PSD schedule:
-full | sched3 | sched2; default = ADMMOptions production default sched2),
-BENCH_REPEATS (default 2), BENCH_PINNED (0|1, default 1), BENCH_RANDOM
-(random-SNR gate scene count, default 512; 0 disables).
+fused_fast | fused_exact | polar_fast | polar | newton_schulz | eigh),
+BENCH_FAST_HI (0|1: append the HIGHEST polish step), BENCH_SCHED (fused_fast
+PSD schedule: full | sched3 | sched2; default = ADMMOptions production
+default sched2), BENCH_REPEATS (default 2), BENCH_PINNED (0|1, default 1),
+BENCH_RANDOM (random-SNR gate scene count, default 512; 0 disables),
+BENCH_EXACT (0|1: the phi-exact throughput/NMSE block), BENCH_EXACT_BATCH
+(exact-mode batch, default 2048).
 
 Round-5 change (VERDICT r4 weak-1): the random-SNR gate defaults to 512
 scenes -- the size that actually discriminates (64 scenes = +-0.5% F1 per
@@ -237,11 +239,13 @@ def main():
                     jnp.abs(admm_solve_fixed(y, b, s, ITERS, 1.0, o))
                 )
             )
-            float(fe(y[:B_EX], b[:B_EX], sigma[:B_EX]))  # compile
+            # device-resident slices (CLAUDE.md rule 7): host-fed args
+            # would charge ~60 ms/call of tunnel transfer at B_EX=2048
+            float(fe(y_d[:B_EX], b_d[:B_EX], s_d[:B_EX]))  # compile + warm
             best_ex = np.inf
             for _ in range(max(1, REPEATS - 1)):
                 t0 = time.time()
-                float(fe(y[:B_EX], b[:B_EX], sigma[:B_EX]))
+                float(fe(y_d[:B_EX], b_d[:B_EX], s_d[:B_EX]))
                 best_ex = min(best_ex, time.time() - t0)
             exact_fields[field] = round(B_EX * ITERS / best_ex, 1)
         exact_fields["exact_vs_baseline"] = round(
@@ -310,29 +314,36 @@ def main():
             ),
         }
 
-        # Deployment throughput: full classical pipeline (observation ->
-        # (tau, f, height) peak list) at the gated budget, device-resident
-        fd = cjit(
-            lambda y, b, s: (lambda pk: jnp.sum(pk.tau) + jnp.sum(pk.f)
-                             + jnp.sum(jnp.where(pk.valid, pk.height, 0.0)))(
-                find_peaks(
-                    admm_solve_fixed(
-                        y, b, s, DETECTION_BUDGET_ITERS, 1.0, opts),
-                    10, 10, PRODUCTION_PEAKS,
-                )
+    # Deployment throughput: full classical pipeline (observation ->
+    # (tau, f, height) peak list) at the gated budget, device-resident.
+    # Independent of the random gate (anchor batch), so it survives
+    # BENCH_RANDOM=0.
+    from admmnet_tpu.core.config import (
+        DETECTION_BUDGET_ITERS,
+        PRODUCTION_PEAKS,
+    )
+
+    fd = cjit(
+        lambda y, b, s: (lambda pk: jnp.sum(pk.tau) + jnp.sum(pk.f)
+                         + jnp.sum(jnp.where(pk.valid, pk.height, 0.0)))(
+            find_peaks(
+                admm_solve_fixed(
+                    y, b, s, DETECTION_BUDGET_ITERS, 1.0, opts),
+                10, 10, PRODUCTION_PEAKS,
             )
         )
-        float(fd(y_d, b_d, s_d))  # compile + warm on the device-arg path
-        best_d = np.inf
-        for _ in range(REPEATS):
-            t0 = time.time()
-            float(fd(y_d, b_d, s_d))
-            best_d = min(best_d, time.time() - t0)
-        random_fields.update({
-            "deploy_budget_iters": DETECTION_BUDGET_ITERS,
-            "deploy_ms_per_scene": round(best_d / B * 1e3, 4),
-            "deploy_scenes_per_s": round(B / best_d, 1),
-        })
+    )
+    float(fd(y_d, b_d, s_d))  # compile + warm on the device-arg path
+    best_d = np.inf
+    for _ in range(REPEATS):
+        t0 = time.time()
+        float(fd(y_d, b_d, s_d))
+        best_d = min(best_d, time.time() - t0)
+    random_fields.update({
+        "deploy_budget_iters": DETECTION_BUDGET_ITERS,
+        "deploy_ms_per_scene": round(best_d / B * 1e3, 4),
+        "deploy_scenes_per_s": round(B / best_d, 1),
+    })
 
     # reference-parity pin: ref-compat mode (dense phi update + identity G
     # step + adaptive stop -- the reference's exact semantics) on the FIXED

@@ -71,18 +71,22 @@ else:
 
 CANDS = {
     "polar_per_step": ADMMOptions(g_update="polar"),
+    # NOTE: these three are the HIGHEST-matmul rungs -- three_pass is
+    # pinned False explicitly (the ADMMOptions default flipped to True
+    # after the 3-pass rung won; a re-run must not silently re-measure
+    # the wrong tier under the same labels).
     "fx_q7_cold16_8": ADMMOptions(
         g_update="fused_exact", fused_exact_schedule="quintic7",
         fused_exact_proj_iters=16, fused_exact_inner_iters=8,
-        fused_exact_warm_root=False),
+        fused_exact_warm_root=False, fused_exact_three_pass=False),
     "fx_q7_warm10_8": ADMMOptions(
         g_update="fused_exact", fused_exact_schedule="quintic7",
         fused_exact_proj_iters=10, fused_exact_inner_iters=8,
-        fused_exact_warm_root=True),
+        fused_exact_warm_root=True, fused_exact_three_pass=False),
     "fx_q5_cold16_8": ADMMOptions(
         g_update="fused_exact", fused_exact_schedule="quintic5",
         fused_exact_proj_iters=16, fused_exact_inner_iters=8,
-        fused_exact_warm_root=False),
+        fused_exact_warm_root=False, fused_exact_three_pass=False),
     # fx_q5_warm10_8 / fx_q5_cold12_6 were dropped after fx_q5_cold16_8
     # measured NMSE 1.9e-3: the 5-step schedule fails the phi contract by
     # 200x regardless of root-finder, so its faster rungs are moot.
