@@ -229,9 +229,6 @@ def _cheb_bwd_kernel(mr_ref, mi_ref, c_ref, rinv_ref, yr_ref, yi_ref,
     Ai = [mi_ref[k] * rinv[k] for k in range(K)]
     crow = [c_ref[k] for k in range(K)]
 
-    def cval(k, j):
-        return jax.lax.slice(crow[k], (0, j), (1, j + 1))
-
     def mm(a, b):
         return _mm3(a, b) if three_pass else _mm(a, b, True)
 
@@ -255,40 +252,53 @@ def _cheb_bwd_kernel(mr_ref, mi_ref, c_ref, rinv_ref, yr_ref, yi_ref,
     negAi = [-Ai[k] for k in range(K)]  # A^T = conj(A) for Hermitian A
 
     # --- init from out = c0 I + A b1 - b2 ---
-    cb = [jnp.sum(Yr[k] * eye) * (lane == 0).astype(jnp.float32)
-          for k in range(K)]                       # (1, TILE) rows
-    ABr, ABi = cmul(Yr, Yi, [b1r[k].T for k in range(K)],
-                    [b1i[k].T for k in range(K)])   # Y @ b1^T
-    ur, ui = cmul(Ar, negAi, Yr, Yi)               # bbar_1 = A^T @ Y
-    vr = [-Yr[k] for k in range(K)]                # bbar_2 (partial)
-    vi = [-Yi[k] for k in range(K)]
-    sr, si = b1r, b1i                              # s = b_j   (j = 1)
-    tr, ti = b2r, b2i                              # t = b_{j+1}
+    cb0 = [jnp.sum(Yr[k] * eye, axis=0, keepdims=True).sum(
+        axis=1, keepdims=True) * (lane == 0).astype(jnp.float32)
+        for k in range(K)]                         # (1, TILE) rows
+    ABr0, ABi0 = cmul(Yr, Yi, [b1r[k].T for k in range(K)],
+                      [b1i[k].T for k in range(K)])   # Y @ b1^T
+    ur0, ui0 = cmul(Ar, negAi, Yr, Yi)             # bbar_1 = A^T @ Y
+    vr0 = [-Yr[k] for k in range(K)]               # bbar_2 (partial)
+    vi0 = [-Yi[k] for k in range(K)]
 
-    for j in range(1, degree):
-        cb = [cb[k] + jnp.sum(ur[k] * eye)
-              * (lane == j).astype(jnp.float32) for k in range(K)]
+    # The sweep runs as a rolled fori_loop: Python-unrolling 47 steps of
+    # 9 Karatsuba products made Mosaic's scoped-VMEM allocator keep every
+    # step's temporaries live (measured 216-261 MB > the chip's 128 MB at
+    # any kblk); a rolled body is bounded like the fused solve kernel's.
+    def body(j, carry):
+        cb, ABr, ABi, ur, ui, vr, vi, sr, si, tr, ti = carry
+        is_j = (lane == j).astype(jnp.float32)     # (1, TILE)
+        # cbar_j = Re tr(bbar_j), accumulated into lane j
+        trv = [jnp.sum(ur[k] * eye, axis=0, keepdims=True).sum(
+            axis=1, keepdims=True) for k in range(K)]  # (1, 1)
+        cb = [cb[k] + trv[k] * is_j for k in range(K)]
+        # Abar += 2 u @ b_{j+1}^T   (t = b_{j+1})
         Pr, Pi = cmul(ur, ui, [tr[k].T for k in range(K)],
-                      [ti[k].T for k in range(K)])   # u @ b_{j+1}^T
+                      [ti[k].T for k in range(K)])
         ABr = [ABr[k] + 2.0 * Pr[k] for k in range(K)]
         ABi = [ABi[k] + 2.0 * Pi[k] for k in range(K)]
-        if j < degree - 1:
-            # cotangent shift: (u, v) <- (v + 2 A^T u, -u)
-            Qr, Qi = cmul(Ar, negAi, ur, ui)
-            ur2 = [vr[k] + 2.0 * Qr[k] for k in range(K)]
-            ui2 = [vi[k] + 2.0 * Qi[k] for k in range(K)]
-            vr = [-ur[k] for k in range(K)]
-            vi = [-ui[k] for k in range(K)]
-            ur, ui = ur2, ui2
-            # forward reconstruction: (s, t) <- (t, c_j I + 2 A t - s),
-            # re-projected like the forward (exact-math Hermitian states)
-            Rr, Ri = cmul(Ar, Ai, tr, ti)
-            tr2 = [cval(k, j) * eye + 2.0 * Rr[k] - sr[k] for k in range(K)]
-            ti2 = [2.0 * Ri[k] - si[k] for k in range(K)]
-            tr2 = [0.5 * (x + x.T) for x in tr2]
-            ti2 = [0.5 * (x - x.T) for x in ti2]
-            sr, si = tr, ti
-            tr, ti = tr2, ti2
+        # cotangent shift: (u, v) <- (v + 2 A^T u, -u)
+        Qr, Qi = cmul(Ar, negAi, ur, ui)
+        ur2 = [vr[k] + 2.0 * Qr[k] for k in range(K)]
+        ui2 = [vi[k] + 2.0 * Qi[k] for k in range(K)]
+        vr2 = [-ur[k] for k in range(K)]
+        vi2 = [-ui[k] for k in range(K)]
+        # forward reconstruction: (s, t) <- (t, c_j I + 2 A t - s),
+        # re-projected like the forward (exact-math Hermitian states);
+        # c_j extracted by lane mask (dynamic j)
+        cj = [jnp.sum(crow[k] * is_j, axis=1, keepdims=True)
+              for k in range(K)]                   # (1, 1)
+        Rr, Ri = cmul(Ar, Ai, tr, ti)
+        tr2 = [cj[k] * eye + 2.0 * Rr[k] - sr[k] for k in range(K)]
+        ti2 = [2.0 * Ri[k] - si[k] for k in range(K)]
+        tr2 = [0.5 * (x + x.T) for x in tr2]
+        ti2 = [0.5 * (x - x.T) for x in ti2]
+        return (cb, ABr, ABi, ur2, ui2, vr2, vi2, tr, ti, tr2, ti2)
+
+    carry = (cb0, ABr0, ABi0, ur0, ui0, vr0, vi0,
+             list(b1r), list(b1i), list(b2r), list(b2i))
+    carry = jax.lax.fori_loop(1, degree, body, carry)
+    cb, ABr, ABi = carry[0], carry[1], carry[2]
 
     for k in range(K):
         ar_ref[k] = ABr[k]
