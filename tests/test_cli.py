@@ -74,3 +74,16 @@ def test_plotting_writes_files(tmp_path):
     import os
 
     assert os.path.getsize(p1) > 1000 and os.path.getsize(p2) > 1000
+
+
+def test_main_classical_deploy_mode(tmp_path, capsys):
+    """--deploy runs the gated fixed-budget pipeline (fused solve falls
+    back to polar_fast on CPU, loudly) and still localizes the anchor."""
+    import json as _json
+
+    from admmnet_tpu.cli.main_classical import main
+
+    main(["--mode", "fixed_e", "--deploy", "--json"])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["iterations"] == 10
+    assert out["f1"] == 1.0
