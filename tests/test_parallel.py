@@ -75,3 +75,38 @@ def test_host_local_batch_partition():
         assert start == total
         total += count
     assert total == 10
+
+
+def test_sharded_deploy_pipeline_matches_single_device():
+    """The round-5 deployment surface (budget-10 solve + PRODUCTION_PEAKS)
+    shards over the data mesh like the full-budget solve: peak lists from
+    the 8-way-sharded pipeline equal the single-device ones."""
+    from admmnet_tpu.core.config import (
+        DETECTION_BUDGET_ITERS,
+        PRODUCTION_PEAKS,
+    )
+    from admmnet_tpu.parallel import shard_batch
+    from admmnet_tpu.peaks import find_peaks
+    from admmnet_tpu.utils import cjit
+
+    B = 16
+    y, b, sigma = make_anchor_batch(B, mode="redemod", seed=1)
+    opts = ADMMOptions(g_update="fused_fast")  # CPU: loud polar_fast path
+
+    def pipe(yy, bb, ss):
+        return find_peaks(
+            admm_solve_fixed(yy, bb, ss, DETECTION_BUDGET_ITERS, 1.0, opts),
+            10, 10, PRODUCTION_PEAKS,
+        )
+
+    mesh = data_mesh(8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharded = cjit(pipe, out_shardings=NamedSharding(mesh, P("data", None)))
+    batch = shard_batch({"y": y, "b": b, "s": sigma}, mesh)
+    pk_sh = to_host(sharded(batch["y"], batch["b"], batch["s"]))
+    pk_1 = to_host(cjit(pipe)(y, b, sigma))
+    np.testing.assert_allclose(np.asarray(pk_sh.tau), np.asarray(pk_1.tau),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pk_sh.f), np.asarray(pk_1.f),
+                               atol=1e-5)
