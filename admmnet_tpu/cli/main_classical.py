@@ -62,19 +62,16 @@ def main(argv=None):
                            phi_update=args.phi_update)
         pcfg = PRODUCTION_PEAKS
         budget = DETECTION_BUDGET_ITERS
-
-        class _Res:  # fixed-budget solve: no convergence plumbing
-            pass
-
-        res = _Res()
-        res.phi = cjit(
+        phi = cjit(
             lambda y, b, s: admm_solve_fixed(y, b, s, budget, lam, opts)
         )(
             np.asarray(sc.y, np.complex64)[None],
             np.asarray(sc.b, np.complex64)[None],
             np.float32(sc.sigma)[None],
         )[0]
-        info = {"iterations": budget, "converged": True}
+        # fixed-budget solve: there IS no convergence measurement (the
+        # budget is certificate-gated offline, RESULTS 1.6) -- report None
+        info = {"iterations": budget, "converged": None}
     else:
         opts = ADMMOptions(
             rho=args.rho, max_iter=args.max_iter, eta_abs=args.eta,
@@ -88,16 +85,17 @@ def main(argv=None):
             np.asarray(sc.y, np.complex64), np.asarray(sc.b, np.complex64),
             np.float32(sc.sigma),
         )
+        phi = res.phi
         info = to_host(
             {"iterations": res.iterations, "converged": res.converged}
         )
     peaks = to_host(
-        cjit(lambda p: find_peaks(p, sc.Nb, sc.Nd, pcfg))(res.phi)
+        cjit(lambda p: find_peaks(p, sc.Nb, sc.Nd, pcfg))(phi)
     )
 
     rows = [
         [float(peaks.tau[i]), float(peaks.f[i]), float(peaks.height[i])]
-        for i in range(args.top)
+        for i in range(min(args.top, len(peaks.valid)))
         if bool(peaks.valid[i])
     ]
     stats = match_peaks(
@@ -109,7 +107,8 @@ def main(argv=None):
     if args.json:
         print(json.dumps({
             "iterations": int(info["iterations"]),
-            "converged": bool(info["converged"]),
+            "converged": (None if info["converged"] is None
+                          else bool(info["converged"])),
             "sigma": sc.sigma,
             "ser": sc.ser,
             "peaks": rows,
@@ -119,8 +118,10 @@ def main(argv=None):
         }))
     else:
         print(f"sigma: {sc.sigma:.4f}  SER: {sc.ser:.2f}%")
+        conv = ("fixed budget (gated offline)" if info["converged"] is None
+                else f"converged={bool(info['converged'])}")
         print(f"ADMM finished after {int(info['iterations'])} iterations "
-              f"(converged={bool(info['converged'])})")
+              f"({conv})")
         print(f"top {len(rows)} peaks [tau, f, height]:")
         for i, r in enumerate(rows):
             print(f"  {i + 1}. [{r[0]:.4f}, {r[1]:+.4f}, {r[2]:.2f}]")
@@ -136,7 +137,7 @@ def main(argv=None):
 
         d = Path(args.plot)
         d.mkdir(parents=True, exist_ok=True)
-        phi_host = th(res.phi)
+        phi_host = th(phi)
         plot_predictions_vs_truth(sc.f, sc.tau, rows, str(d / "pred_vs_truth.png"))
         plot_peaks(phi_host, sc.Nb, sc.Nd, {"tau": sc.tau, "f": sc.f},
                    str(d / "peaks_surface.png"))

@@ -297,8 +297,21 @@ def _cheb_bwd_kernel(mr_ref, mi_ref, c_ref, rinv_ref, yr_ref, yi_ref,
 
     carry = (cb0, ABr0, ABi0, ur0, ui0, vr0, vi0,
              list(b1r), list(b1i), list(b2r), list(b2i))
-    carry = jax.lax.fori_loop(1, degree, body, carry)
-    cb, ABr, ABi = carry[0], carry[1], carry[2]
+    # roll j = 1 .. degree-2; the final step (j = degree-1) is peeled below
+    # because its cotangent/reconstruction shifts (6 of the 9 matmuls) feed
+    # nothing -- only the cbar/Abar accumulators survive the loop
+    carry = jax.lax.fori_loop(1, degree - 1, body, carry)
+    cb, ABr, ABi, ur, ui = carry[0], carry[1], carry[2], carry[3], carry[4]
+    tr, ti = carry[9], carry[10]
+    if degree > 1:
+        is_last = (lane == degree - 1).astype(jnp.float32)
+        trv = [jnp.sum(ur[k] * eye, axis=0, keepdims=True).sum(
+            axis=1, keepdims=True) for k in range(K)]
+        cb = [cb[k] + trv[k] * is_last for k in range(K)]
+        Pr, Pi = cmul(ur, ui, [tr[k].T for k in range(K)],
+                      [ti[k].T for k in range(K)])
+        ABr = [ABr[k] + 2.0 * Pr[k] for k in range(K)]
+        ABi = [ABi[k] + 2.0 * Pi[k] for k in range(K)]
 
     for k in range(K):
         ar_ref[k] = ABr[k]

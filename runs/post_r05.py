@@ -8,9 +8,10 @@ B. Batch-1 DEVICE latency of the classical deploy pipeline (budget-10
    latency, so chain 8 pipeline evaluations inside one jit (output peaks
    re-seed the next observation's noise scale) and report (t_8 - t_1)/7 --
    the round-3 chained-latency protocol (RESULTS 3, measure_r03b B).
-C. Training-step decomposition at B=256 (both Clenshaw engines): forward
-   loss only vs full value_and_grad+AdamW -- names what the next training
-   lever is (RESULTS 3.10).
+C. Training FORWARD-only loss eval at B=256 (both Clenshaw engines); the
+   full-step numbers live in results/r05/train_kernel_r05.json -- together
+   they decompose the step into forward vs backward+optimizer
+   (RESULTS 3.10).
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python runs/post_r05.py
 """
@@ -120,9 +121,8 @@ for impl in ("xla", "pallas"):
     p0 = cjit(lambda k, yy, bb, ss: model.init(k, yy, bb, ss))(
         jax.random.PRNGKey(0), raw["y"][:2], raw["b"][:2], raw["sigma"][:2])
     tx = make_optimizer(TrainConfig(), steps_per_epoch=27)
-    o0 = tx.init(p0)
-    train_step, eval_step = build_steps(model, tx, "e2e", assignment="perm",
-                                        spectral_weight=0.5)
+    _, eval_step = build_steps(model, tx, "e2e", assignment="perm",
+                               spectral_weight=0.5)
     fwd = cjit(lambda p, b=raw: eval_step(p, b)[0])
     fetchf = device_retry(lambda: float(fwd(p0)), attempts=2, cooldown_s=120)
     fetchf()

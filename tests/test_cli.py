@@ -86,4 +86,5 @@ def test_main_classical_deploy_mode(tmp_path, capsys):
     main(["--mode", "fixed_e", "--deploy", "--json"])
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["iterations"] == 10
+    assert out["converged"] is None  # fixed budget: no convergence claim
     assert out["f1"] == 1.0
